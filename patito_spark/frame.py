@@ -1,0 +1,351 @@
+"""Model-aware DataFrame wrapper: the engine's ``DataFrame[Model]``.
+
+≈ reference ``src/patito/polars.py`` — a thin wrapper over
+``pyspark.sql.DataFrame`` carrying a ``model`` class attribute.  There is no
+eager/lazy split: Spark frames are lazy until an action, so this one class
+covers both the reference's ``DataFrame`` and ``LazyFrame``
+(``polars.py:52-56, 345-374``).
+
+Every operator compiles to native Column expressions (one ``select``/
+``withColumns`` — Catalyst collapses chains), never per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional, Union
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+from .errors import MultipleRowsReturned, RowDoesNotExist
+from .expr import Expr
+
+_PASSTHROUGH_RETURNS_DF = {
+    "filter",
+    "where",
+    "limit",
+    "distinct",
+    "dropDuplicates",
+    "drop_duplicates",
+    "repartition",
+    "coalesce",
+    "sort",
+    "orderBy",
+    "sample",
+    "cache",
+    "persist",
+    "unpersist",
+    "alias",
+    "hint",
+    "checkpoint",
+    "localCheckpoint",
+}
+
+
+class DataFrame:
+    """A ``pyspark.sql.DataFrame`` plus an attached model spec.
+
+    Operations that keep the schema intact re-attach the model
+    (≈ ``polars.py:136-171`` model preservation).
+    """
+
+    model: Optional[type] = None  # set on per-model subclasses by the metaclass
+
+    def __init__(self, df: SparkDataFrame) -> None:
+        self._df = df
+
+    # -- plumbing ---------------------------------------------------------------
+    def as_spark(self) -> SparkDataFrame:
+        """Unwrap to the plain pyspark DataFrame (≈ ``as_polars``, polars.py:875-877)."""
+        return self._df
+
+    def set_model(self, model: type) -> "DataFrame":
+        """Attach a model, re-typing the wrapper (≈ ``polars.py:57-113``)."""
+        return model.DataFrame(self._df)
+
+    def __getattr__(self, name: str) -> Any:
+        attr = getattr(self._df, name)
+        if name in _PASSTHROUGH_RETURNS_DF:
+
+            def wrapped(*args: Any, **kwargs: Any) -> Any:
+                out = attr(*args, **kwargs)
+                if isinstance(out, SparkDataFrame):
+                    return type(self)(out)
+                return out
+
+            return wrapped
+        return attr
+
+    @property
+    def columns(self) -> list:
+        return self._df.columns
+
+    @property
+    def schema(self):
+        return self._df.schema
+
+    def __repr__(self) -> str:
+        model_name = self.model.__name__ if self.model else None
+        return f"<patito_spark.DataFrame model={model_name} {self._df}>"
+
+    def _require_model(self) -> type:
+        if self.model is None:
+            raise TypeError(
+                "This method requires a model; use Model.DataFrame(df) or "
+                ".set_model(Model) first."
+            )
+        return self.model
+
+    # -- validation ---------------------------------------------------------------
+    def validate(self, columns: Optional[list] = None, **kwargs: Any) -> "DataFrame":
+        """Validate against the attached model (≈ ``polars.py:545-598``)."""
+        model = self._require_model()
+        model.validate(self._df, columns=columns, **kwargs)
+        return self
+
+    # -- derive (≈ polars.py:132-219, 600-635) -------------------------------------
+    def derive(self, columns: Optional[list] = None) -> "DataFrame":
+        """Populate ``derived_from`` columns in dependency order.
+
+        An expression's references are derived first (the reference walks
+        ``root_names()`` recursively, ``polars.py:207-213``); output column
+        order = model order first, extras appended (``polars.py:181-187``).
+        """
+        model = self._require_model()
+        specs = model.__column_specs__
+        targets = [
+            n
+            for n, s in specs.items()
+            if s.derived_from is not None and (columns is None or n in columns)
+        ]
+        df = self._df
+        derived: set = set()
+
+        def _derive_one(name: str, stack: tuple = ()) -> None:
+            nonlocal df
+            if name in derived:
+                return
+            if name in stack:
+                raise ValueError(
+                    f"Cyclic derived-column dependency at {name!r}: {stack}"
+                )
+            spec = specs.get(name)
+            if spec is None or spec.derived_from is None:
+                return
+            src = spec.derived_from
+            if isinstance(src, str):
+                expr_col = F.col(src)
+            elif isinstance(src, Expr):
+                for ref in sorted(src.references()):
+                    if ref in specs and specs[ref].derived_from is not None:
+                        _derive_one(ref, stack + (name,))
+                expr_col = src.to_column()
+            else:
+                raise TypeError(
+                    f"Invalid derived_from for {name!r}: {src!r} "
+                    "(expected column name or Expr)"
+                )
+            df = df.withColumn(name, expr_col.cast(spec.dtype))
+            derived.add(name)
+
+        for name in targets:
+            _derive_one(name)
+
+        ordered = [c for c in specs if c in df.columns]
+        extras = [c for c in df.columns if c not in specs]
+        df = df.select(*ordered, *extras)
+        return type(self)(df)
+
+    # -- cast (≈ polars.py:279-334, 461-502) ----------------------------------------
+    def cast(
+        self, strict: bool = False, columns: Optional[list] = None
+    ) -> "DataFrame":
+        """Cast columns to model dtypes.
+
+        Explicit ``Field(dtype=...)`` columns are always cast; otherwise
+        non-strict leaves a column alone when its dtype is already in the
+        valid set, strict forces the default dtype.
+        """
+        from .dtypes import dtype_in_valid_set
+
+        model = self._require_model()
+        specs = model.__column_specs__
+        df_types = {f.name: f.dataType for f in self._df.schema.fields}
+        out: dict[str, Column] = {}
+        for name, spec in specs.items():
+            if name not in df_types or (columns is not None and name not in columns):
+                continue
+            explicit = spec.dtype_str is not None or len(spec.valid_dtypes) == 1
+            current = df_types[name]
+            if explicit or strict or not dtype_in_valid_set(
+                current, spec.valid_dtypes
+            ):
+                if current != spec.dtype:
+                    out[name] = F.col(name).cast(spec.dtype)
+        return type(self)(self._df.withColumns(out)) if out else self
+
+    # -- unalias (≈ polars.py:221-277) ------------------------------------------------
+    def unalias(self) -> "DataFrame":
+        """Normalize columns from validation aliases into model field names.
+
+        Plain alias → rename; alias_path ``(col, i)`` → ``F.get(col, i)``;
+        alias_choices → first-non-null coalesce chain.  Prefers the model
+        field name if already present.
+        """
+        model = self._require_model()
+        specs = model.__column_specs__
+        df_cols = set(self._df.columns)
+        exprs: list[Column] = []
+        consumed: set = set()
+        for name, spec in specs.items():
+            candidates: list[Column] = []
+            if name in df_cols:
+                candidates.append(F.col(name))
+                consumed.add(name)
+            choices: list = []
+            if spec.alias:
+                choices.append(spec.alias)
+            if spec.alias_choices:
+                choices.extend(spec.alias_choices)
+            if spec.alias_path:
+                src, idx = spec.alias_path
+                if src in df_cols:
+                    candidates.append(F.get(F.col(src), idx))
+            for choice in choices:
+                if isinstance(choice, tuple):
+                    src, idx = choice
+                    if src in df_cols:
+                        candidates.append(F.get(F.col(src), idx))
+                elif choice in df_cols:
+                    candidates.append(F.col(choice))
+                    consumed.add(choice)
+            if not candidates:
+                continue
+            expr = candidates[0] if len(candidates) == 1 else F.coalesce(*candidates)
+            exprs.append(expr.alias(name))
+        passthrough = [
+            F.col(c)
+            for c in self._df.columns
+            if c not in consumed
+            and not any(
+                s.alias == c
+                or (s.alias_choices and c in s.alias_choices)
+                or (s.alias_path and s.alias_path[0] == c)
+                for s in specs.values()
+            )
+        ]
+        return type(self)(self._df.select(*exprs, *passthrough))
+
+    # -- fill_null (≈ polars.py:637-708) ------------------------------------------------
+    def fill_null(self, strategy: str = "defaults") -> "DataFrame":
+        """Fill nulls with model defaults; create missing columns from defaults."""
+        if strategy != "defaults":
+            raise ValueError(
+                "Only strategy='defaults' is model-aware; use the plain "
+                "Spark df.fillna for value fills."
+            )
+        model = self._require_model()
+        df = self._df
+        out: dict[str, Column] = {}
+        for name, default in model.defaults.items():
+            spec = model.__column_specs__[name]
+            lit = F.lit(default).cast(spec.dtype)
+            if name in df.columns:
+                out[name] = F.coalesce(F.col(name), lit)
+            else:
+                out[name] = lit
+        return type(self)(df.withColumns(out)) if out else self
+
+    # -- drop (≈ polars.py:504-543) --------------------------------------------------
+    def drop(self, columns: Union[str, list, None] = None, *more: str) -> "DataFrame":
+        """With no args: drop all columns NOT in the model."""
+        if columns is None:
+            model = self._require_model()
+            extras = [c for c in self._df.columns if c not in model.__column_specs__]
+            return type(self)(self._df.drop(*extras)) if extras else self
+        names = [columns] if isinstance(columns, str) else list(columns)
+        names += list(more)
+        return type(self)(self._df.drop(*names))
+
+    # -- select preserving wrapper ---------------------------------------------------
+    def select(self, *cols: Any) -> "DataFrame":
+        return type(self)(self._df.select(*cols))
+
+    def with_columns(self, mapping: dict) -> "DataFrame":
+        cols = {
+            k: (v.to_column() if isinstance(v, Expr) else v)
+            for k, v in mapping.items()
+        }
+        return type(self)(self._df.withColumns(cols))
+
+    # -- get (≈ polars.py:710-790) -----------------------------------------------------
+    def get(self, predicate: Union[Column, Expr, None] = None) -> Any:
+        """Filter to exactly one row and materialize it as a model instance."""
+        df = self._df
+        if predicate is not None:
+            if isinstance(predicate, Expr):
+                predicate = predicate.to_column()
+            df = df.filter(predicate)
+        rows = df.take(2)
+        if len(rows) == 0:
+            raise RowDoesNotExist(f"{type(self).__name__} query returned 0 rows")
+        if len(rows) > 1:
+            raise MultipleRowsReturned(
+                f"{type(self).__name__} query returned 2 or more rows"
+            )
+        model = self.model
+        if model is None:
+            return rows[0].asDict(recursive=True)
+        return model.from_row(rows[0])
+
+    # -- iter_models (≈ polars.py:792-853) ----------------------------------------------
+    def iter_models(
+        self, validate_df: bool = True, validate_model: bool = False
+    ) -> "ModelGenerator":
+        """Yield one model instance per row (driver-side; use only on small
+        or pre-filtered frames at scale — documented caveat)."""
+        model = self._require_model()
+        df = self._df
+        if validate_df:
+            extras = set(df.columns) - set(model.__column_specs__)
+            clean = df.drop(*extras) if extras else df
+            model.validate(clean)
+            df = clean
+
+        def _generate() -> Iterator[Any]:
+            for row in df.toLocalIterator():
+                data = row.asDict(recursive=True)
+                if validate_model:
+                    yield model(**data)
+                else:
+                    yield model._construct(data)
+
+        return ModelGenerator(_generate())
+
+    # -- actions ------------------------------------------------------------------------
+    def collect(self) -> list:
+        return self._df.collect()
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def show(self, *args: Any, **kwargs: Any) -> None:
+        self._df.show(*args, **kwargs)
+
+
+class ModelGenerator:
+    """Iterator of model instances with a ``to_list`` helper
+    (≈ ``polars.py:34-49``)."""
+
+    def __init__(self, it: Iterator[Any]) -> None:
+        self._it = it
+
+    def __iter__(self) -> Iterator[Any]:
+        return self._it
+
+    def __next__(self) -> Any:
+        return next(self._it)
+
+    def to_list(self) -> list:
+        return list(self._it)

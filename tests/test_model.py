@@ -1,0 +1,250 @@
+"""Model algebra + schema plumbing, mirroring reference tests/test_model.py."""
+
+import datetime as dt
+from typing import Literal, Optional
+
+import pytest
+from pyspark.sql import types as T
+
+import patito_spark as pt
+
+
+class Small(pt.Model):
+    a: int
+    b: str
+
+
+class Other(pt.Model):
+    b: str
+    c: float
+
+
+def test_columns_and_dtypes():
+    assert Small.columns == ["a", "b"]
+    assert Small.dtypes == {"a": T.LongType(), "b": T.StringType()}
+    assert Small.non_nullable_columns == {"a", "b"}
+    assert Small.nullable_columns == set()
+
+
+def test_spark_schema():
+    schema = Small.spark_schema()
+    assert schema == T.StructType(
+        [
+            T.StructField("a", T.LongType(), nullable=False),
+            T.StructField("b", T.StringType(), nullable=False),
+        ]
+    )
+
+
+def test_optional_and_defaults():
+    class M(pt.Model):
+        a: Optional[int]
+        b: str = "x"
+        c: float = pt.Field(0.5, ge=0.0)
+
+    assert M.nullable_columns == {"a"}
+    assert M.defaults == {"b": "x", "c": 0.5}
+
+
+def test_unique_and_derived_columns():
+    class M(pt.Model):
+        a: int = pt.Field(unique=True)
+        b: int = pt.Field(derived_from="a")
+
+    assert M.unique_columns == {"a"}
+    assert M.derived_columns == {"b"}
+
+
+# -- model algebra (≈ reference test_model.py:258-382) -----------------------
+
+
+def test_join_inner_keeps_nullability():
+    J = Small.join(Other, how="inner")
+    assert J.columns == ["a", "b", "c"]
+    assert J.non_nullable_columns == {"a", "b", "c"}
+
+
+def test_join_left_makes_right_optional():
+    J = Small.join(Other, how="left")
+    assert J.nullable_columns == {"c"}
+
+
+def test_join_outer_makes_all_optional():
+    J = Small.join(Other, how="outer")
+    assert J.nullable_columns == {"a", "b", "c"}
+
+
+def test_join_semi_anti_identity():
+    assert Small.join(Other, how="semi") is Small
+    assert Small.join(Other, how="anti") is Small
+
+
+def test_select():
+    S = Small.select("a")
+    assert S.columns == ["a"]
+    with pytest.raises(ValueError, match="do not exist"):
+        Small.select(["a", "nonexistent"])
+
+
+def test_drop():
+    assert Small.drop("a").columns == ["b"]
+    assert Small.drop(["a", "b"]).columns == []
+
+
+def test_prefix_suffix():
+    assert Small.prefix("x_").columns == ["x_a", "x_b"]
+    assert Small.suffix("_y").columns == ["a_y", "b_y"]
+
+
+def test_rename():
+    R = Small.rename({"a": "alpha"})
+    assert R.columns == ["alpha", "b"]
+    with pytest.raises(ValueError, match="do not exist"):
+        Small.rename({"nope": "x"})
+
+
+def test_with_fields():
+    W = Small.with_fields(c=(float, pt.Field(ge=0.0)))
+    assert W.columns == ["a", "b", "c"]
+    assert W.specs["c"].ge == 0.0
+
+
+def test_algebra_preserves_constraints():
+    class M(pt.Model):
+        a: int = pt.Field(unique=True, ge=0)
+
+    S = M.select("a")
+    assert S.specs["a"].unique is True
+    assert S.specs["a"].ge == 0
+
+
+def test_validate_schema_catches_bad_constraint_refs():
+    class M(pt.Model):
+        a: int = pt.Field(constraints=pt.col("nonexistent") > 0)
+
+    with pytest.raises(ValueError, match="unknown"):
+        M.validate_schema()
+
+
+# -- dtype resolution matrix (≈ reference tests/test_dtypes.py) ---------------
+
+
+def test_dtype_matrix():
+    class M(pt.Model):
+        i: int
+        f: float
+        s: str
+        b: bool
+        d: dt.date
+        ts: dt.datetime
+        td: dt.timedelta
+        lit: Literal["x", "y"]
+        li: list[int]
+        lli: list[list[str]]
+        opt: Optional[int]
+        byt: bytes
+
+    d = M.dtypes
+    assert d["i"] == T.LongType()
+    assert d["f"] == T.DoubleType()
+    assert d["s"] == T.StringType()
+    assert d["b"] == T.BooleanType()
+    assert d["d"] == T.DateType()
+    assert d["ts"] == T.TimestampType()
+    assert d["td"] == T.DayTimeIntervalType()
+    assert d["lit"] == T.StringType()
+    assert M.specs["lit"].allowed_values == ["x", "y"]
+    assert d["li"] == T.ArrayType(T.LongType(), containsNull=False)
+    assert d["lli"] == T.ArrayType(
+        T.ArrayType(T.StringType(), containsNull=False), containsNull=False
+    )
+    assert d["opt"] == T.LongType() and M.specs["opt"].nullable
+    assert d["byt"] == T.BinaryType()
+
+
+def test_nested_model_dtype():
+    class Inner(pt.Model):
+        x: int
+
+    class Outer(pt.Model):
+        inner: Inner
+
+    assert Outer.dtypes["inner"] == T.StructType(
+        [T.StructField("x", T.LongType(), nullable=False)]
+    )
+    assert Outer.specs["inner"].model is Inner
+
+
+def test_mixed_enum_rejected():
+    with pytest.raises(TypeError):
+
+        class M(pt.Model):
+            bad: Literal["a", 1]
+
+
+# -- model instances ----------------------------------------------------------
+
+
+def test_model_instance_roundtrip():
+    m = Small(a=1, b="x")
+    assert m.model_dump() == {"a": 1, "b": "x"}
+    assert Small(a=1, b="x") == m
+
+
+def test_from_row(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    row = df.collect()[0]
+    assert Small.from_row(row) == Small(a=1, b="x")
+
+
+# -- examples → validate round-trip (reference test_model.py:569-573) ---------
+
+
+def test_examples_validate_roundtrip(spark):
+    class Complete(pt.Model):
+        id: int = pt.Field(unique=True)
+        name: str = pt.Field(min_length=3)
+        zone: Literal["dry", "cold", "frozen"]
+        pct: float = pt.Field(ge=0.0, le=1.0)
+        flag: bool
+        opt: Optional[int]
+        bounded: int = pt.Field(ge=10, le=20)
+        when: dt.date
+
+    df = Complete.examples({"id": [1, 2, 3]}, spark=spark)
+    Complete.validate(df.as_spark())
+
+
+def test_example_value_bounds():
+    class M(pt.Model):
+        two_sided: int = pt.Field(ge=10, le=20)
+        one_sided: int = pt.Field(gt=100)
+        plain: int
+        plain_f: float
+
+    assert 10 <= M.example_value("two_sided") <= 20
+    assert M.example_value("one_sided") > 100
+    assert M.example_value("plain") == -1
+    assert M.example_value("plain_f") == -0.5
+
+
+def test_example_instance():
+    class M(pt.Model):
+        a: int
+        b: str = "given"
+        c: Optional[float]
+
+    m = M.example(a=7)
+    assert m.a == 7
+    assert m.b == "given"
+    assert m.c is None
+
+
+def test_example_unique_sequence(spark):
+    class M(pt.Model):
+        uid: int = pt.Field(unique=True)
+        val: str
+
+    df = M.examples({"val": ["x", "y", "z"]}, spark=spark)
+    rows = sorted(r["uid"] for r in df.collect())
+    assert rows == [1, 2, 3]
