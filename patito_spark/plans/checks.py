@@ -64,6 +64,13 @@ _UNIQUE_SALT_BUCKETS = 64
 _ENUM_SAMPLE_CAP = 1000
 
 
+
+
+def _wrap(exc_cls, msg: str, loc: str, count: int) -> ErrorWrapper:
+    exc = exc_cls(msg)
+    exc.count = count  # structured count for the report/checkpoint writer
+    return ErrorWrapper(exc, loc=loc)
+
 class _Ctx:
     """Accumulates agg terms + result handlers across the recursive compile."""
 
@@ -178,9 +185,11 @@ def find_errors(
         for loc, count in _duplicate_counts(df, ctx.unique_targets).items():
             if count > 0:
                 errors.append(
-                    ErrorWrapper(
-                        RowValueError(f"{count} rows with duplicated values."),
-                        loc=loc,
+                    _wrap(
+                        RowValueError,
+                        f"{count} rows with duplicated values.",
+                        loc,
+                        count,
                     )
                 )
 
@@ -298,11 +307,11 @@ def _compile_column(
             n = res.get(a) or 0
             if n:
                 errs.append(
-                    ErrorWrapper(
-                        MissingValuesError(
-                            f"{n} missing {'value' if n == 1 else 'values'}"
-                        ),
-                        loc=location,
+                    _wrap(
+                        MissingValuesError,
+                        f"{n} missing {'value' if n == 1 else 'values'}",
+                        location,
+                        n,
                     )
                 )
 
@@ -327,11 +336,11 @@ def _compile_column(
             n = res.get(a) or 0
             if n:
                 errs.append(
-                    ErrorWrapper(
-                        MissingValuesError(
-                            f"{n} missing {'value' if n == 1 else 'values'} in lists"
-                        ),
-                        loc=location,
+                    _wrap(
+                        MissingValuesError,
+                        f"{n} missing {'value' if n == 1 else 'values'} in lists",
+                        location,
+                        n,
                     )
                 )
 
@@ -385,9 +394,11 @@ def _compile_column(
                     values.add(None)
             if values:
                 errs.append(
-                    ErrorWrapper(
-                        RowValueError(f"Rows with invalid values: {values}."),
-                        loc=location,
+                    _wrap(
+                        RowValueError,
+                        f"Rows with invalid values: {values}.",
+                        location,
+                        len(values),
                     )
                 )
 
@@ -469,11 +480,11 @@ def _compile_column(
             n = sum(res.get(a) or 0 for a in als)
             if n > 0:
                 errs.append(
-                    ErrorWrapper(
-                        RowValueError(
-                            f"{n} row{'' if n == 1 else 's'} with out of bound values."
-                        ),
-                        loc=location,
+                    _wrap(
+                        RowValueError,
+                        f"{n} row{'' if n == 1 else 's'} with out of bound values.",
+                        location,
+                        n,
                     )
                 )
 
@@ -529,12 +540,12 @@ def _compile_column(
                 n = (res.get(ra) or 0) if ra is not None else 0
             if n > 0:
                 errs.append(
-                    ErrorWrapper(
-                        RowValueError(
-                            f"{n} row{'' if n == 1 else 's'} "
-                            "does not match custom constraints."
-                        ),
-                        loc=location,
+                    _wrap(
+                        RowValueError,
+                        f"{n} row{'' if n == 1 else 's'} "
+                        "does not match custom constraints.",
+                        location,
+                        n,
                     )
                 )
 

