@@ -1,38 +1,785 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY §2 (validation checks, frame ops, stats)
+plus the training-data extensions (dedup/minhash/simhash/jaccard, similarity
+search, text analysis, multimodal) registers a query here.  All hashing in
+oracle-checked queries is md5-based (identical hex in Spark and DuckDB —
+see patito_spark.functions.hashing); float outputs are rounded to 6 dp on
+both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from typing import Optional
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: portable ASCII tokenizer used by ORACLE-CHECKED text queries (the engine's
+#: own functions use unicode classes; on this corpus they agree, but oracle
+#: queries pin the exact regex so both engines tokenize identically)
+TOK = "[^a-z0-9']+"
+#: same regex with the apostrophe doubled for embedding in SQL string literals
+TOK_SQL = "[^a-z0-9'']+"
+LANGS = ["en", "de", "fr", "es", "zh"]
+
+MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), TOK), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation report of the documents table at sf0.001 —
+    the single-pass check aggregation + salted uniqueness, surfaced as
+    typed violation rows (the north-rule output shape)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+
+    import patito_spark as pt
+    from patito_spark.errors import get_exc_type
+    from patito_spark.plans.checks import find_errors
+
+    class Document(pt.Model):
+        doc_id: int = pt.Field(unique=True)
+        text: str = pt.Field(min_length=1)
+        lang: str = pt.Field(allowed=LANGS)
+        source: str = pt.Field(pattern=r"^src\d+$")
+        n_chars: int = pt.Field(ge=0, le=100_000)
+
+    errors = find_errors(docs, Document)
+    rows = [
+        (e.loc_tuple()[0], get_exc_type(e.exc.__class__), str(e.exc),
+         int(getattr(e.exc, "count", 1)))
+        for e in errors
+    ] or [("_all", "ok", "no violations", 0)]
+    return spark.createDataFrame(
+        rows, "column string, error_type string, message string, violation_count long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_null_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ],
+    )
+
+
+SQL_NULL_COUNTS = """
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS doc_id_nulls,
+       sum(CASE WHEN text   IS NULL THEN 1 ELSE 0 END)::BIGINT AS text_nulls,
+       sum(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_nulls,
+       sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS source_nulls,
+       sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_chars_nulls
+FROM documents
+"""
+
+
+def q_unique_violations(spark, sf_dir):
+    # the salted two-stage duplicate-member count (engine's V7 plan)
+    from patito_spark.plans.uniqueness import duplicate_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_stats(docs, "doc_id").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("dup_members")
+    )
+
+
+SQL_UNIQUE_VIOLATIONS = """
+SELECT COALESCE(SUM(c), 0)::BIGINT AS dup_members
+FROM (SELECT count(*) c FROM documents GROUP BY doc_id HAVING count(*) > 1)
+"""
+
+
+def q_bounds_violations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi = 100, 400
+    return docs.agg(
+        F.sum((~(F.col("n_chars") >= lo)).cast("long")).alias("below_min"),
+        F.sum((~(F.col("n_chars") <= hi)).cast("long")).alias("above_max"),
+        F.sum((~F.col("source").rlike("^src[0-9]+$")).cast("long")).alias(
+            "bad_source_pattern"
+        ),
+        F.sum((~(F.char_length(F.col("text")) >= 50)).cast("long")).alias(
+            "short_text"
+        ),
+    )
+
+
+SQL_BOUNDS_VIOLATIONS = """
+SELECT sum(CASE WHEN NOT (n_chars >= 100) THEN 1 ELSE 0 END)::BIGINT AS below_min,
+       sum(CASE WHEN NOT (n_chars <= 400) THEN 1 ELSE 0 END)::BIGINT AS above_max,
+       sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS bad_source_pattern,
+       sum(CASE WHEN NOT (length(text) >= 50) THEN 1 ELSE 0 END)::BIGINT AS short_text
+FROM documents
+"""
+
+
+def q_enum_violations(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    allowed = ["en", "de", "fr"]
+    return (
+        docs.filter(F.col("lang").isNotNull() & ~F.col("lang").isin(*allowed))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_ENUM_VIOLATIONS = """
+SELECT lang, count(*)::BIGINT AS n
+FROM documents
+WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr')
+GROUP BY lang
+"""
+
+
+def q_validation_report(spark, sf_dir):
+    """Per-(column, check) violation-count rows — the runner's output shape."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.sum(F.col("lang").isNull().cast("long")).alias("lang_null"),
+        F.sum(
+            (F.col("lang").isNotNull() & ~F.col("lang").isin(*LANGS)).cast("long")
+        ).alias("lang_enum"),
+        F.sum((~(F.col("n_chars") >= 0)).cast("long")).alias("n_chars_min"),
+        F.sum((~F.col("source").rlike("^src[0-9]+$")).cast("long")).alias(
+            "source_pattern"
+        ),
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("lang").alias("column"), F.lit("missing_values").alias("check"), F.col("lang_null").alias("violations")),
+                F.struct(F.lit("lang").alias("column"), F.lit("enum").alias("check"), F.col("lang_enum").alias("violations")),
+                F.struct(F.lit("n_chars").alias("column"), F.lit("minimum").alias("check"), F.col("n_chars_min").alias("violations")),
+                F.struct(F.lit("source").alias("column"), F.lit("pattern").alias("check"), F.col("source_pattern").alias("violations")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stacked
+
+
+SQL_VALIDATION_REPORT = """
+WITH agg AS (
+  SELECT sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS lang_null,
+         sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)::BIGINT AS lang_enum,
+         sum(CASE WHEN NOT (n_chars >= 0) THEN 1 ELSE 0 END)::BIGINT AS n_chars_min,
+         sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS source_pattern
+  FROM documents
+)
+SELECT 'lang' AS "column", 'missing_values' AS "check", lang_null AS violations FROM agg
+UNION ALL SELECT 'lang', 'enum', lang_enum FROM agg
+UNION ALL SELECT 'n_chars', 'minimum', n_chars_min FROM agg
+UNION ALL SELECT 'source', 'pattern', source_pattern FROM agg
+"""
+
+
+def q_derive_columns(spark, sf_dir):
+    """derive(): expression-derived columns in dependency order."""
+    import patito_spark as pt
+
+    class Derived(pt.Model):
+        doc_id: int
+        n_chars: int
+        n_chars_x2: int = pt.Field(derived_from=2 * pt.col("n_chars"))
+        n_chars_x4: int = pt.Field(derived_from=2 * pt.col("n_chars_x2"))
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return Derived.DataFrame(docs).derive().as_spark()
+
+
+SQL_DERIVE_COLUMNS = """
+SELECT doc_id, n_chars,
+       (2 * n_chars)::BIGINT AS n_chars_x2,
+       (4 * n_chars)::BIGINT AS n_chars_x4
+FROM documents
+"""
+
+
+def q_fill_null_defaults(spark, sf_dir):
+    import patito_spark as pt
+
+    class M(pt.Model):
+        doc_id: int
+        maybe_lang: Optional[str] = "unknown"
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("maybe_lang")
+    )
+    return M.DataFrame(docs).fill_null().as_spark()
+
+
+SQL_FILL_NULL = """
+SELECT doc_id, COALESCE(NULLIF(lang, 'en'), 'unknown') AS maybe_lang
+FROM documents
+"""
+
+
+def q_cast_columns(spark, sf_dir):
+    import patito_spark as pt
+
+    class M(pt.Model):
+        doc_id: int = pt.Field(dtype="int32")
+        n_chars: float
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return M.DataFrame(docs).cast(strict=True).as_spark()
+
+
+SQL_CAST_COLUMNS = """
+SELECT doc_id::INTEGER AS doc_id, n_chars::DOUBLE AS n_chars FROM documents
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from patito_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_exact_dedup_stats(spark, sf_dir):
+    from patito_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, "doc_id", "text")
+    return deduped.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_after_dedup"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+    )
+
+
+SQL_EXACT_DEDUP_STATS = """
+WITH keyed AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT count(*)::BIGINT AS rows_after_dedup, sum(n_chars)::BIGINT AS sum_n_chars
+FROM keyed WHERE rn = 1
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    subword = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.char_length(t) / 4).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        subword.cast("long").alias("n_subwords"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(w)::INTEGER AS n_tokens,
+       COALESCE(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)::BIGINT AS n_subwords
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from patito_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_lang_id() -> str:
+    hits = ",\n         ".join(
+        "len(list_filter(w, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in MARKERS[lang]), lang
+        )
+        for lang in ["en", "de", "fr", "es"]
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}'']+'), x -> x <> '') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         {hits}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            ELSE 'es' END AS lang_guess
+FROM h
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    from patito_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+
+
+SQL_QUALITY_SCORES = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'), x -> x <> '') AS w,
+         length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, alpha_chars,
+         len(w) AS n_words,
+         len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       round(
+         0.3 * (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * (CASE WHEN n_chars > 0 THEN alpha_chars / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+       + 0.2 * least((CASE WHEN n_words > 0 THEN stop_hits / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+       + 0.2 * (CASE WHEN n_words > 0
+                     AND (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) BETWEEN 2.0 AND 12.0
+                     THEN 1.0 ELSE 0.0 END)
+       , 6) AS q
+FROM m
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash LSH candidate pairs with duplicated documents planted by
+    construction? No — run directly on the real table: both engines see the
+    same data, so pair sets must agree (possibly empty at some SFs)."""
+    from patito_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        # signature hashing is the per-row hot loop; a small table arrives
+        # as ONE parquet split, so spread it across the cluster first
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text_norm", num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+def _sql_minhash_pairs(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END AS s
+  FROM t
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {num_hashes}),
+                        k -> list_min(list_transform(s, x -> md5(x || '#' || k)))) AS sg
+  FROM sh
+), band AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sg[b*{rows}+1 : b*{rows}+{rows}], '|')) AS bucket
+  FROM sig, unnest(range(0, {bands})) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_simhash_values(spark, sf_dir):
+    from patito_spark.operators.dedup import simhash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    return docs.select("doc_id", simhash(F.col("text_norm")).alias("simhash"))
+
+
+def _sql_simhash(bits: int = 60) -> str:
+    bit_terms = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, ('0x' || substring(md5(u.x), 1, 15))::BIGINT AS h
+  FROM t, unnest(t.w) AS u(x)
+), votes AS (
+  SELECT doc_id,
+       {bit_terms}
+  FROM tok GROUP BY doc_id
+), packed AS (
+  SELECT doc_id, {pack} AS simhash FROM votes
+)
+SELECT d.doc_id, COALESCE(p.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN packed p USING (doc_id)
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from patito_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text_norm", F.array_join(_tokens(F.col("text")), " ")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text_norm", threshold=0.2, shingle_n=2, block_cols=["source"]
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> concat_ws(' ', w[i], w[i+1]))
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END) AS s
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) /
+      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    from patito_spark.operators.similarity import topk_brute_force
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return topk_brute_force(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 3
+), sims AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], p.pvec::DOUBLE[]), 6) AS cosine
+  FROM embeddings e CROSS JOIN probes p
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT probe_id, neighbor_id, cosine, rank::INTEGER AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_stats_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_STATS_PROFILE = """
+SELECT lang, count(*)::BIGINT AS n,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_histogram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 50), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT least(greatest(CAST(floor(n_chars / 50) AS INTEGER), 0), 9) AS bucket,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_ri_orphans(spark, sf_dir):
+    from patito_spark.plans.uniqueness import referential_violations
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    orphans = referential_violations(
+        events, F.col("user_id"), customer, "c_custkey", broadcast_dim=True
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("orphan_events"))
+
+
+SQL_RI_ORPHANS = """
+SELECT count(*)::BIGINT AS orphan_events
+FROM events e ANTI JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_events_windowed(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(
+                F.window(F.col("ts"), "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style single-pass aggregation (classic scan-heavy shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- non-SQL-expressible (rows-only checks) -----------------------------------
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from patito_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.9, planes=8
+    )
+
+
+def q_multimodal_byte_hist(spark, sf_dir):
+    from patito_spark.operators.multimodal import byte_histogram
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return byte_histogram(docs, "doc_id", "payload")
+
+
+def q_ks_drift_by_lang(spark, sf_dir):
+    from patito_spark.plans.stats import ks_exact_by_group, quantile_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = quantile_sketch(docs.select(F.col("n_chars").cast("double").alias("x")), "x")
+    return ks_exact_by_group(
+        docs.select("lang", F.col("n_chars").cast("double").alias("x")), "lang", "x", ref
+    ).select("lang", F.round("ks", 4).alias("ks"), "n")
+
+
+def q_ivf_topk(spark, sf_dir):
+    from patito_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    indexed, centroids = build_ivf_index(emb, n_centroids=8)
+    return ivf_topk(indexed, centroids, probes, k=5, nprobe=8)
+
+
+def q_streaming_flags(spark, sf_dir):
+    """Streaming check predicates applied batch-side (same code path)."""
+    import patito_spark as pt
+    from patito_spark.streaming.validate import flag_violations
+
+    class Document(pt.Model):
+        doc_id: int
+        lang: str = pt.Field(allowed=LANGS)
+        n_chars: int = pt.Field(ge=100, le=400)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    flagged = flag_violations(docs, Document)
+    return flagged.select(
+        "doc_id", F.col("_valid").alias("valid"),
+        F.array_join(F.array_sort("_violations"), ",").alias("violations"),
+    )
+
+
+SQL_STREAMING_FLAGS = """
+SELECT doc_id,
+       (lang IN ('en','de','fr','es','zh'))
+         AND (n_chars >= 100) AND (n_chars <= 400) AS valid,
+       COALESCE(array_to_string(list_sort(
+         (CASE WHEN NOT COALESCE(n_chars <= 400, TRUE) THEN ['n_chars__bound0'] ELSE [] END)
+         || (CASE WHEN NOT COALESCE(n_chars >= 100, TRUE) THEN ['n_chars__bound1'] ELSE [] END)
+         || (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN ['lang__enum'] ELSE [] END)
+       ), ','), '') AS violations
+FROM documents
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "null_counts": q_null_counts,
+        "unique_violations": q_unique_violations,
+        "bounds_violations": q_bounds_violations,
+        "enum_violations": q_enum_violations,
+        "validation_report": q_validation_report,
+        "derive_columns": q_derive_columns,
+        "fill_null_defaults": q_fill_null_defaults,
+        "cast_columns": q_cast_columns,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_values": q_simhash_values,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "stats_profile": q_stats_profile,
+        "histogram": q_histogram,
+        "ri_orphans": q_ri_orphans,
+        "events_windowed": q_events_windowed,
+        "pricing_summary": q_pricing_summary,
+        "streaming_flags": q_streaming_flags,
+        # rows-only (non-SQL-expressible / engine-specific paths)
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_byte_hist": q_multimodal_byte_hist,
+        "ks_drift_by_lang": q_ks_drift_by_lang,
+        "ivf_topk": q_ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "null_counts": SQL_NULL_COUNTS,
+        "unique_violations": SQL_UNIQUE_VIOLATIONS,
+        "bounds_violations": SQL_BOUNDS_VIOLATIONS,
+        "enum_violations": SQL_ENUM_VIOLATIONS,
+        "validation_report": SQL_VALIDATION_REPORT,
+        "derive_columns": SQL_DERIVE_COLUMNS,
+        "fill_null_defaults": SQL_FILL_NULL,
+        "cast_columns": SQL_CAST_COLUMNS,
+        "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "exact_dedup_stats": SQL_EXACT_DEDUP_STATS,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "lang_id": _sql_lang_id(),
+        "quality_scores": SQL_QUALITY_SCORES,
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash_values": _sql_simhash(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "stats_profile": SQL_STATS_PROFILE,
+        "histogram": SQL_HISTOGRAM,
+        "ri_orphans": SQL_RI_ORPHANS,
+        "events_windowed": SQL_EVENTS_WINDOWED,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "streaming_flags": SQL_STREAMING_FLAGS,
+    }

@@ -1,0 +1,153 @@
+"""Text-analysis Columns for web-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions — JVM-side, whole-stage
+codegen, zero Python UDFs — so they run inline in the same scan as the
+validation aggregation.  Each has an exact ANSI-SQL equivalent (used by the
+DuckDB oracles in ``__spark_entry__``).
+
+These extend the reference's scope (patito has no text ops); they are the
+operations a Common-Crawl-style pipeline needs on the ``text`` column of
+the north-rule table: tokenization, language ID, quality scoring,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram/stopword heuristic
+#: language identifier; chosen to be discriminative and ASCII-safe
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "que", "es", "una"],
+    "it": ["il", "che", "di", "sono", "una"],
+    "pt": ["o", "que", "um", "uma", "para"],
+    "nl": ["de", "het", "een", "van", "niet"],
+}
+
+_TOKEN_PATTERN = r"[^\p{L}\p{N}']+"
+#: BPE-ish fallback used by token_count's subword estimate: word chunks of
+#: ≤4 chars approximate byte-pair vocab entries
+_SUBWORD_LEN = 4
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Unicode word tokens (letters/digits/apostrophes)."""
+    return F.filter(
+        F.split(F.lower(col), _TOKEN_PATTERN), lambda t: t != ""
+    )
+
+
+def token_count(col: Column, subword: bool = False) -> Column:
+    """Whitespace/regex token count; ``subword=True`` adds a BPE-ish
+    estimate (ceil(len/4) per word) instead of the word count."""
+    toks = tokens(col)
+    if not subword:
+        return F.size(toks)
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.char_length(t) / _SUBWORD_LEN).cast("int"),
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (native, no explode).
+
+    ``transform(sequence(1, num_words-n+1), i -> words[i..i+n-1] joined)``.
+
+    NOTE for hot paths: this recomputes the tokenizer per shingle index
+    (Catalyst does not CSE across lambda boundaries).  Operators that
+    shingle at scale materialize the token array first and call
+    :func:`word_shingles_from_tokens` (see ``operators.dedup._materialize``).
+    """
+    return word_shingles_from_tokens(tokens(col), n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingles from an ALREADY-MATERIALIZED token array column — each
+    lambda element then only reads an attribute instead of re-running the
+    tokenizer."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(
+        F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def language_id(col: Column, candidates: list[str] = ("en", "de", "fr", "es")) -> Column:
+    """Heuristic language ID: the candidate with the most stopword-marker
+    hits in the text; ``und`` (undetermined) when nothing matches.
+
+    One pass over the token array per candidate — still a single projection,
+    no shuffle, no UDF.  (A production system would plug a real model in via
+    ``operators.multimodal``-style mapInPandas; this is the cheap first-pass
+    filter a 100 TB pipeline runs on every document.)
+    """
+    toks = tokens(col)
+
+    def _marker_hits(markers: list):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(lang, _marker_hits(LANG_MARKERS[lang])) for lang in candidates]
+    best_score = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    result = F.lit("und")
+    # reversed so earlier candidates win ties (deterministic priority order)
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] document-quality heuristic.
+
+    Blend of: length band (50..10000 chars), alphabetic ratio, stopword
+    presence, mean word length band (2..12).  Mirrors the usual
+    Gopher/C4-style filters; exact weights are arbitrary but fixed.
+    """
+    n_chars = F.char_length(col)
+    toks = tokens(col)
+    n_words = F.size(toks)
+    alpha_chars = F.char_length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = ((n_chars >= 50) & (n_chars <= 10_000)).cast("double")
+    word_len_ok = ((mean_word_len >= 2.0) & (mean_word_len <= 12.0)).cast("double")
+    score = (
+        0.3 * length_ok
+        + 0.3 * alpha_ratio
+        + 0.2 * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + 0.2 * word_len_ok
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Portable across engines (the DuckDB oracle recomputes it identically);
+    this is the exact-dedup key for the north-rule byte-identity checks.
+    """
+    return F.md5(normalize_text(col))

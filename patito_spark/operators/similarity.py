@@ -1,0 +1,209 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers:
+
+- ``topk_brute_force`` — exact cosine top-k via a broadcast probe join +
+  window rank.  Native Columns; the baseline every ANN variant is measured
+  against.  Cost O(|corpus| × |probes|) — fine for ≤ ~100 probes even at
+  large corpus sizes because the probe side broadcasts and the corpus is
+  scanned once.
+- ``topk_blockwise`` — the same semantics with the inner product computed in
+  numpy over Arrow batches (``mapInPandas``): each batch does ONE matrix
+  multiply against the broadcast probe matrix and emits only its local
+  top-k, so the shuffle carries |probes| × k rows per batch, never the
+  corpus.  The scale path for wide fan-outs.
+- ``ivf_topk`` — IVF-style bucketed search: vectors are assigned to their
+  nearest of C deterministic centroids at index time; a probe searches only
+  the ``nprobe`` nearest centroid buckets.  Trades recall for a
+  1/(C/nprobe) scan reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+
+def topk_brute_force(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k: ``(probe_id, neighbor_id, cosine, rank)``.
+
+    The probe side is broadcast — the corpus never shuffles; ranking happens
+    on the (small) |corpus|×|probes| similarity rows after a probe-key
+    repartition.  Ties broken by neighbor id for full determinism.
+    """
+    p = F.broadcast(
+        probes.select(
+            F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    sims = c.crossJoin(p).select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("_cvec"), F.col("_pvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def topk_blockwise(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Same result as :func:`topk_brute_force`, Arrow/numpy inner loop.
+
+    The probe matrix is collected once (probes are small by contract) and
+    shipped in the closure; each Arrow batch computes a single normalized
+    matrix product and emits its batch-local top-k — vectorized end to end,
+    no per-row Python.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    probe_ids = [r[0] for r in probe_rows]
+    pm = np.asarray([r[1] for r in probe_rows], dtype="float64")
+    pm = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _block(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ pm.T  # (batch, probes)
+            local_k = min(k, sims.shape[0])
+            # batch-local top-k per probe (argpartition → exact order later)
+            top = np.argpartition(-sims, local_k - 1, axis=0)[:local_k]
+            rows = {
+                "probe_id": np.repeat(probe_ids, local_k),
+                "neighbor_id": ids[top.T.ravel()],
+                "cosine": np.round(
+                    np.take_along_axis(sims, top, axis=0).T.ravel(), 6
+                ),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(_block, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Assign every vector to its nearest deterministic centroid.
+
+    Centroids are the ``n_centroids`` lowest-id vectors (deterministic and
+    cheap; swap in k-means|| offline for production recall).  Returns
+    ``(indexed_df, centroids)`` where indexed_df has a ``_centroid`` column
+    — persist it bucketed by ``_centroid`` so probe-time reads prune.
+    """
+    centroids = (
+        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    )
+    cent_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in row[1]]).alias("cvec"),
+            )
+            for i, row in enumerate(centroids)
+        ]
+    )
+    best = F.aggregate(
+        cent_structs,
+        F.struct(
+            F.lit(-1).alias("cid"), F.lit(float("-inf")).cast("double").alias("sim")
+        ),
+        lambda acc, c: F.when(
+            cosine_similarity(F.col(vec_col), c["cvec"]) > acc["sim"],
+            F.struct(
+                c["cid"].alias("cid"),
+                cosine_similarity(F.col(vec_col), c["cvec"]).alias("sim"),
+            ),
+        ).otherwise(acc),
+    )
+    indexed = corpus.withColumn("_centroid", best["cid"])
+    return indexed, [(i, list(r[1])) for i, r in enumerate(centroids)]
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Search only the ``nprobe`` nearest centroid buckets per probe."""
+    import numpy as np  # noqa: PLC0415
+
+    cm = np.asarray([c[1] for c in centroids], dtype="float64")
+    cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    assignments = []
+    for r in probe_rows:
+        v = np.asarray(r[1], dtype="float64")
+        v = v / max(np.linalg.norm(v), 1e-12)
+        top = np.argsort(-(cm @ v))[:nprobe]
+        for cid in top:
+            assignments.append((r[0], int(cid), [float(x) for x in r[1]]))
+    spark = indexed.sparkSession
+    probe_buckets = F.broadcast(
+        spark.createDataFrame(
+            assignments, f"probe_id long, _centroid int, _pvec array<double>"
+        )
+    )
+    joined = indexed.join(probe_buckets, "_centroid").select(
+        "probe_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_pvec")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

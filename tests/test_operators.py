@@ -1,0 +1,344 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.functions.hashing import md5_long
+from patito_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    normalize_text,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from patito_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from patito_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    exact_duplicate_groups,
+    hamming_distance,
+    minhash_candidate_pairs,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from patito_spark.operators.multimodal import (
+    attach_media_meta,
+    byte_histogram,
+    decode_image,
+    fake_image_features,
+    frame_sample,
+)
+from patito_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_topk,
+    topk_blockwise,
+    topk_brute_force,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# -- text functions -------------------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("Hello, world! Don't stop",)], "t string")
+    assert df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"] == 4
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+    rows = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]  # shorter than n → whole text
+    assert rows[2]["s"] == []
+
+
+def test_normalize_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",)], "t string"
+    )
+    fps = df.select(doc_fingerprint(F.col("t")).alias("f")).collect()
+    assert fps[0]["f"] == fps[1]["f"]  # case/whitespace-insensitive
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund und die katze ist nicht da",),
+            ("le chat est dans la maison les jours",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    langs = [r["l"] for r in df.select(language_id(F.col("t")).alias("l")).collect()]
+    assert langs == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_ranges(spark, docs):
+    scored = docs.select(quality_score(F.col("text")).alias("q"))
+    bounds = scored.agg(F.min("q"), F.max("q")).collect()[0]
+    assert 0.0 <= bounds[0] <= bounds[1] <= 1.0
+
+
+def test_md5_long_matches_duckdb(spark):
+    import duckdb
+
+    got = (
+        spark.createDataFrame([("hello",)], "s string")
+        .select(md5_long(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    expected = duckdb.sql(
+        "select ('0x' || substring(md5('hello'),1,15))::BIGINT"
+    ).fetchone()[0]
+    assert got == expected
+
+
+# -- vector functions ---------------------------------------------------------------
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("b")).alias("norm"),
+        F.round(cosine_similarity(F.col("a"), F.col("b")), 6).alias("cos"),
+    ).collect()[0]
+    assert row["dot"] == 1.0
+    assert row["norm"] == pytest.approx(2**0.5)
+    assert row["cos"] == pytest.approx(0.707107)
+
+
+# -- exact dedup ----------------------------------------------------------------------
+
+
+def _with_planted_dups(docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100_000)
+    return docs.unionByName(dup)
+
+
+def test_exact_duplicate_groups(spark, docs):
+    corpus = _with_planted_dups(docs)
+    groups = exact_duplicate_groups(corpus, "doc_id", "text")
+    rows = groups.collect()
+    assert len(rows) == 3
+    assert all(r["dup_count"] == 2 for r in rows)
+    assert all(r["keep_id"] < 100_000 for r in rows)
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    corpus = _with_planted_dups(docs)
+    deduped = exact_dedup(corpus, "doc_id", "text")
+    assert deduped.count() == docs.count()
+    assert deduped.filter(F.col("doc_id") >= 100_000).count() == 0
+
+
+# -- minhash ------------------------------------------------------------------------------
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant: exact copies and a lightly-perturbed copy
+    base = docs.limit(2)
+    copies = base.withColumn("doc_id", F.col("doc_id") + 100_000)
+    perturbed = base.withColumn("doc_id", F.col("doc_id") + 200_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra token"))
+    )
+    corpus = docs.unionByName(copies).unionByName(perturbed)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5, num_hashes=16, bands=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for doc_id in [r["doc_id"] for r in base.collect()]:
+        assert (doc_id, doc_id + 100_000) in found
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_minhash_no_false_exact_misses(spark, docs):
+    # identical texts always share every band → guaranteed candidates
+    corpus = _with_planted_dups(docs)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text", num_hashes=8, bands=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100_000) for r in docs.limit(3).collect()
+    }
+    assert planted <= found
+
+
+# -- simhash ----------------------------------------------------------------------------------
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely unrelated content about spark shuffles"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["h"] for r in df.select("id", simhash(F.col("text")).alias("h")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_candidate_pairs(spark, docs):
+    corpus = _with_planted_dups(docs)
+    pairs = simhash_candidate_pairs(corpus, "doc_id", "text", max_hamming=3)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100_000) for r in docs.limit(3).collect()
+    }
+    assert planted <= set(found)
+    assert all(h == 0 for p, h in found.items() if p in planted)
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1011, 0b0011)], "a long, b long")
+    assert df.select(
+        hamming_distance(F.col("a"), F.col("b")).alias("h")
+    ).collect()[0]["h"] == 1
+
+
+# -- ngram jaccard -----------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    corpus = _with_planted_dups(docs)
+    pairs = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.99, block_cols=["source"]
+    ).collect()
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100_000) for r in docs.limit(3).collect()
+    }
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert planted <= found
+    assert all(r["jaccard"] == pytest.approx(1.0) for r in pairs if (r["id_a"], r["id_b"]) in planted)
+
+
+# -- embedding near-dup -------------------------------------------------------------------------
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    dup = embeddings.limit(2).withColumn("vec_id", F.col("vec_id") + 100_000)
+    corpus = embeddings.unionByName(dup)
+    pairs = embedding_near_duplicates(
+        corpus, "vec_id", "embedding", threshold=0.999, planes=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 100_000) for r in embeddings.limit(2).collect()
+    }
+    assert planted <= found
+
+
+# -- similarity search -----------------------------------------------------------------------------
+
+
+def test_topk_brute_force_self_nearest(spark, embeddings):
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    top = topk_brute_force(embeddings, probes, k=5).collect()
+    by_probe = {}
+    for r in top:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        assert len(rows) == 5
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == pid  # self is nearest
+        assert best["cosine"] == pytest.approx(1.0)
+
+
+def test_topk_blockwise_matches_brute_force(spark, embeddings):
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    brute = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_brute_force(embeddings, probes, k=5).collect()
+    }
+    block = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_blockwise(embeddings, probes, k=5).collect()
+    }
+    assert brute == block
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    probes = embeddings.limit(3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    indexed, centroids = build_ivf_index(embeddings, n_centroids=8)
+    approx = ivf_topk(indexed, centroids, probes, k=5, nprobe=4)
+    rows = approx.collect()
+    # self must be found (it lives in the probe's own nearest bucket)
+    best = {r["probe_id"]: r for r in rows if r["rank"] == 1}
+    for pid, r in best.items():
+        assert r["neighbor_id"] == pid
+
+
+# -- multimodal ---------------------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(
+        [(1, b"\x00\x01\x02\x03" * 64), (2, b"\xff" * 100), (3, b"")],
+        "id long, payload binary",
+    )
+
+
+def test_attach_media_meta(spark, media):
+    out = attach_media_meta(media, "payload", mime="application/octet-stream")
+    rows = {r["id"]: r["media_meta"] for r in out.collect()}
+    assert rows[1]["n_bytes"] == 256
+    assert rows[2]["mime"] == "application/octet-stream"
+
+
+def test_byte_histogram(spark, media):
+    out = {r["id"]: r for r in byte_histogram(media, "id", "payload").collect()}
+    assert out[1]["n_bytes"] == 256
+    assert out[1]["hist"][0] == 256  # all bytes 0..3 fall in bucket 0
+    assert out[2]["hist"][15] == 100  # 0xff in the last bucket
+    assert sum(out[3]["hist"]) == 0
+
+
+def test_decode_image_stub_raises(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(media, "id", "payload")
+
+
+def test_fake_image_features_deterministic(spark, media):
+    a = {r["id"]: r["feature"] for r in fake_image_features(media, "id", "payload").collect()}
+    b = {r["id"]: r["feature"] for r in fake_image_features(media, "id", "payload").collect()}
+    assert a == b
+    assert len(a[1]) == 8
+
+
+def test_frame_sample_fanout(spark, media):
+    frames = frame_sample(media, "id", "payload", n_frames=4)
+    counts = {r["id"]: r["n"] for r in frames.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 4
+    one = frames.filter((F.col("id") == 1)).collect()
+    assert all(len(r["frame_bytes"]) == 64 for r in one)
