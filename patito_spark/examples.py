@@ -183,3 +183,9 @@ def examples(
             cols.append(F.lit(example_value(spec)).cast(spec.dtype).alias(name))
     out = base.select(*cols)
     return model.DataFrame(out)
+
+
+def pandas_examples(model: type, data: Optional[dict] = None, spark=None):
+    """Same as :func:`examples`, returned as a pandas DataFrame
+    (≈ reference ``pandas_examples``, ``pydantic.py:716-784``)."""
+    return examples(model, data=data, spark=spark).as_spark().toPandas()

@@ -229,6 +229,44 @@ class Expr:
             ),
         )
 
+    def substitute_values(self, mapping: dict) -> "Expr":
+        """Replace ``col(name)`` nodes with literal values via *mapping*.
+
+        Used to splice pre-computed aggregate scalars back into a mixed
+        aggregate/row constraint for the verification pass.
+        """
+        if self.op == "col" and self.args[0] in mapping:
+            return Expr("lit", mapping[self.args[0]])
+        return Expr(
+            self.op,
+            *(
+                a.substitute_values(mapping) if isinstance(a, Expr) else a
+                for a in self.args
+            ),
+        )
+
+    def extract_aggregates(self, acc: dict) -> "Expr":
+        """Replace each maximal aggregate subtree with a placeholder column.
+
+        Placeholders accumulate in *acc* (name → subtree); the result is a
+        pure row-level expression.  The check compiler evaluates the
+        subtrees in the single-pass aggregation, then splices the scalars
+        back with :meth:`substitute_values` — reproducing polars' broadcast
+        of aggregates over filters (reference test at
+        ``tests/test_validators.py:886-894``).
+        """
+        if self.op in _AGG_OPS:
+            placeholder = f"__aggph{len(acc)}"
+            acc[placeholder] = self
+            return Expr("col", placeholder)
+        return Expr(
+            self.op,
+            *(
+                a.extract_aggregates(acc) if isinstance(a, Expr) else a
+                for a in self.args
+            ),
+        )
+
     # -- compile ----------------------------------------------------------------
     def to_column(self):
         """Compile to a native ``pyspark.sql.Column``."""

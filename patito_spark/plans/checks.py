@@ -79,6 +79,9 @@ class _Ctx:
         self.handlers: list[Callable[[dict, list], None]] = []
         # (loc, guarded key Column, value Column)
         self.unique_targets: list[tuple[str, Column, Column]] = []
+        # mixed aggregate/row constraints needing the scalar-splice pass:
+        # dicts with loc / row+mixed Exprs / placeholder→alias / agg aliases
+        self.mixed_groups: list[dict] = []
         self._n = 0
 
     def add(self, column: Column) -> str:
@@ -175,10 +178,42 @@ def find_errors(
     )
 
     # Job 1: single-pass aggregation over all row-level checks
+    result: dict = {}
     if ctx.terms:
         result = df.agg(*ctx.terms.values()).collect()[0].asDict()
         for handler in ctx.handlers:
             handler(result, errors)
+
+    # Job 1b (only when mixed aggregate/row constraints exist): splice the
+    # pass-1 aggregate scalars into the row predicates and count failures —
+    # ONE extra scan shared by every mixed constraint in the model
+    if ctx.mixed_groups:
+        terms2: dict[str, Column] = {}
+        for i, group in enumerate(ctx.mixed_groups):
+            scalars = {
+                ph: result.get(alias) for ph, alias in group["ph_alias"].items()
+            }
+            pred = None
+            for c in group["row_exprs"]:
+                neg = ~c.substitute_values(scalars).to_column()
+                pred = neg if pred is None else (pred | neg)
+            terms2[f"_mix{i}"] = F.sum(pred.cast("long")).alias(f"_mix{i}")
+        result2 = df.agg(*terms2.values()).collect()[0].asDict()
+        for i, group in enumerate(ctx.mixed_groups):
+            if any(result.get(a) is False for a in group["agg_aliases"]):
+                n = result.get(group["total_alias"]) or 0
+            else:
+                n = result2.get(f"_mix{i}") or 0
+            if n > 0:
+                errors.append(
+                    _wrap(
+                        RowValueError,
+                        f"{n} row{'' if n == 1 else 's'} "
+                        "does not match custom constraints.",
+                        group["loc"],
+                        n,
+                    )
+                )
 
     # Job 2: all-columns salted uniqueness
     if ctx.unique_targets:
@@ -500,18 +535,38 @@ def _compile_column(
                 rename[ref] = path + ref
         bound = [c.substitute(rename) for c in spec.constraints]
         row_constraints = [c for c in bound if not c.is_aggregate()]
-        agg_constraints = [c for c in bound if c.is_aggregate()]
-        for c in agg_constraints:
-            if c.references():
-                refs_outside_agg = _has_row_refs_outside_agg(c)
-                if refs_outside_agg:
-                    raise NotImplementedError(
-                        "Constraints mixing aggregate and row-level terms "
-                        "are not supported (e.g. `field - field.mean() < 2`); "
-                        "pure aggregate constraints like `field.sum() == 1` are."
-                    )
+        agg_full = [c for c in bound if c.is_aggregate()]
+        agg_constraints = [c for c in agg_full if not _has_row_refs_outside_agg(c)]
+        mixed_constraints = [c for c in agg_full if _has_row_refs_outside_agg(c)]
 
         total_alias = ctx.add(F.count(F.lit(1)))
+        agg_aliases = [ctx.add(c.to_column().cast("boolean")) for c in agg_constraints]
+
+        if mixed_constraints:
+            # e.g. `field - field.mean() < 2`: evaluate the aggregate
+            # subtrees in THIS pass, splice the scalars into the row
+            # predicate, and count failures in one shared follow-up pass —
+            # reproducing polars' agg-over-filter broadcast
+            # (tests/test_validators.py:886-894) without a single-partition
+            # global window
+            placeholders: dict = {}
+            mixed_rows = [
+                c.extract_aggregates(placeholders) for c in mixed_constraints
+            ]
+            ph_alias = {
+                ph: ctx.add(sub.to_column()) for ph, sub in placeholders.items()
+            }
+            ctx.mixed_groups.append(
+                {
+                    "loc": col_loc,
+                    "row_exprs": row_constraints + mixed_rows,
+                    "ph_alias": ph_alias,
+                    "agg_aliases": agg_aliases,
+                    "total_alias": total_alias,
+                }
+            )
+            return  # reported by the pass-2 handler instead
+
         row_alias = None
         if row_constraints:
             # fail if ANY constraint is false (any_horizontal of negations,
@@ -521,7 +576,6 @@ def _compile_column(
                 neg = ~c.to_column()
                 pred = neg if pred is None else (pred | neg)
             row_alias = ctx.add(F.sum(pred.cast("long")))
-        agg_aliases = [ctx.add(c.to_column().cast("boolean")) for c in agg_constraints]
 
         def _constraint_handler(
             res: dict,

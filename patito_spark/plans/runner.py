@@ -150,12 +150,26 @@ class ValidationRunner:
             )
 
     # -- run ---------------------------------------------------------------------
-    def run(self, df: DataFrame, run_id: Optional[str] = None) -> RunResult:
+    def run(
+        self,
+        df: DataFrame,
+        run_id: Optional[str] = None,
+        where=None,
+    ) -> RunResult:
+        """Run validation over (pending ∩ *where*) partitions.
+
+        ``where`` (Column or SQL string) scopes the run — it lands directly
+        on the scan as a pushed filter, so scoping by the physical partition
+        column prunes files before any byte is read (SURVEY §4.2: expose
+        ``where=`` scoping on the run API).
+        """
         spark = df.sparkSession
         run_id = run_id or uuid.uuid4().hex[:12]
         t0 = time.time()
         model = self.model
 
+        if where is not None:
+            df = df.filter(where)
         df = _transform_df(df, model)
         if self.partition_expr is not None:
             df = df.withColumn(self.partition_name, self.partition_expr)

@@ -44,6 +44,12 @@ def read_csv(
     )
     if not header:
         df = df.toDF(*read_cols)
+    if model.model_config.get("alias_generator"):
+        # headers written under alias names map back to field names
+        # (reference remaps override keys, polars.py:946-957)
+        from ..plans.checks import _transform_df
+
+        df = _transform_df(df, model)
     wrapped = model.DataFrame(df)
     if derive and model.derived_columns:
         wrapped = wrapped.derive()

@@ -681,3 +681,107 @@ def _derive_model(name: str, fields: dict) -> type:
         namespace["__annotations__"][field_name] = annotation
         namespace[field_name] = info
     return ModelMetaclass(name, (Model,), namespace)
+
+
+_SPARK_TYPE_TO_ANNOTATION: list = None  # populated lazily
+
+
+def model_from_spec_json(payload: str) -> type:
+    """Reconstruct a Model class from ``Model.spec_json()`` output.
+
+    The spec (including constraint/derived expressions, via the expr DSL's
+    JSON form) is a self-contained artifact: it can be persisted next to a
+    checkpoint table or shipped to another process and rebuilt without the
+    original class definition.  The reference proves the same property for
+    polars expressions (``column_info.py:131-149``).
+    """
+    import datetime as _dt
+    import json as _json
+
+    data = _json.loads(payload)
+    fields: dict[str, tuple] = {}
+    for col_spec in data["columns"]:
+        dtype = T._parse_datatype_json_string(col_spec["dtype"])  # type: ignore[attr-defined]
+        annotation = _annotation_for_spark_type(dtype)
+        if col_spec.get("nullable"):
+            annotation = Optional[annotation]
+        constraints = None
+        if col_spec.get("constraints"):
+            constraints = [Expr.from_dict(c) for c in col_spec["constraints"]]
+        derived = col_spec.get("derived_from")
+        if isinstance(derived, dict):
+            derived = Expr.from_dict(derived["expr"])
+        default = col_spec.get("default", MISSING)
+        if default is not MISSING and isinstance(dtype, T.DateType):
+            default = _dt.date.fromisoformat(default)
+        elif default is not MISSING and isinstance(
+            dtype, (T.TimestampType, T.TimestampNTZType)
+        ):
+            default = _dt.datetime.fromisoformat(default)
+        info = FieldInfo(
+            default,
+            dtype=dtype if not isinstance(dtype, (T.StructType,)) else None,
+            unique=col_spec.get("unique", False),
+            allow_missing=col_spec.get("allow_missing", False),
+            ge=col_spec.get("ge"),
+            gt=col_spec.get("gt"),
+            le=col_spec.get("le"),
+            lt=col_spec.get("lt"),
+            multiple_of=col_spec.get("multiple_of"),
+            const=col_spec.get("const"),
+            pattern=col_spec.get("pattern"),
+            min_length=col_spec.get("min_length"),
+            max_length=col_spec.get("max_length"),
+            allowed=col_spec.get("allowed_values"),
+            constraints=constraints,
+            derived_from=derived,
+            alias=col_spec.get("alias"),
+            alias_choices=col_spec.get("alias_choices"),
+        )
+        try:
+            ColumnSpec(col_spec["name"], annotation, info)
+        except ValueError:
+            # e.g. uint64 → DecimalType: the serialized dtype widened past
+            # the annotation's valid set; keep the annotation, drop the
+            # explicit dtype (bounds were serialized separately)
+            info.dtype = None
+        fields[col_spec["name"]] = (annotation, info)
+    return _derive_model(data.get("model", "DeserializedModel"), fields)
+
+
+def _annotation_for_spark_type(dtype: T.DataType) -> Any:
+    import datetime as _dt
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return float
+    if isinstance(dtype, T.BooleanType):
+        return bool
+    if isinstance(dtype, T.StringType):
+        return str
+    if isinstance(dtype, T.BinaryType):
+        return bytes
+    if isinstance(dtype, T.DateType):
+        return _dt.date
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime
+    if isinstance(dtype, T.DayTimeIntervalType):
+        return _dt.timedelta
+    if isinstance(dtype, T.ArrayType):
+        inner = _annotation_for_spark_type(dtype.elementType)
+        if dtype.containsNull:
+            inner = Optional[inner]
+        return list[inner]
+    if isinstance(dtype, T.StructType):
+        fields = {
+            f.name: (
+                Optional[_annotation_for_spark_type(f.dataType)]
+                if f.nullable
+                else _annotation_for_spark_type(f.dataType),
+                FieldInfo(),
+            )
+            for f in dtype.fields
+        }
+        return _derive_model("NestedStruct", fields)
+    raise TypeError(f"No annotation mapping for Spark type {dtype}")

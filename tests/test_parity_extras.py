@@ -1,0 +1,94 @@
+"""Parity extras: spec (de)serialization, pandas examples, where= scoping."""
+
+import datetime as dt
+from typing import Literal, Optional
+
+import pytest
+from pyspark.sql import functions as F
+
+import patito_spark as pt
+from patito_spark.examples import pandas_examples
+from patito_spark.plans.runner import ValidationRunner
+from patito_spark.spec import model_from_spec_json
+
+
+class Page(pt.Model):
+    url: str = pt.Field(unique=True, pattern=r"^https?://")
+    score: float = pt.Field(ge=0.0, le=1.0)
+    lang: Optional[str] = pt.Field("en", allowed=["en", "de"])
+    n: int = pt.Field(constraints=pt.field % 2 == 0)
+    n2: int = pt.Field(derived_from=2 * pt.col("n"))
+
+
+def test_spec_json_full_roundtrip(spark):
+    rebuilt = model_from_spec_json(Page.spec_json())
+    assert rebuilt.columns == Page.columns
+    assert rebuilt.unique_columns == {"url"}
+    assert rebuilt.specs["score"].ge == 0.0 and rebuilt.specs["score"].le == 1.0
+    assert rebuilt.specs["lang"].allowed_values == ["en", "de"]
+    assert rebuilt.specs["lang"].default == "en"
+    assert rebuilt.specs["url"].pattern == r"^https?://"
+    assert rebuilt.derived_columns == {"n2"}
+
+    # the rebuilt model validates identically to the original
+    df = spark.createDataFrame(
+        [("https://a", 0.5, "en", 2, 4), ("nope", 2.0, "xx", 3, 6)],
+        "url string, score double, lang string, n bigint, n2 bigint",
+    )
+    with pytest.raises(pt.DataFrameValidationError) as e1:
+        Page.validate(df)
+    with pytest.raises(pt.DataFrameValidationError) as e2:
+        rebuilt.validate(df)
+    assert sorted(
+        (err["loc"], err["msg"], err["type"]) for err in e1.value.errors()
+    ) == sorted((err["loc"], err["msg"], err["type"]) for err in e2.value.errors())
+
+
+def test_spec_roundtrip_unsigned(spark):
+    class U(pt.Model):
+        v: int = pt.Field(dtype="uint8")
+
+    rebuilt = model_from_spec_json(U.spec_json())
+    assert rebuilt.specs["v"].ge == 0
+    assert rebuilt.specs["v"].le == 255
+
+
+def test_pandas_examples(spark):
+    class M(pt.Model):
+        uid: int = pt.Field(unique=True)
+        zone: Literal["a", "b"]
+
+    pdf = pandas_examples(M, {"uid": [1, 2, 3]}, spark=spark)
+    assert list(pdf.columns) == ["uid", "zone"]
+    assert sorted(pdf["uid"].tolist()) == [1, 2, 3]
+    assert set(pdf["zone"]) == {"a"}
+
+
+def test_runner_where_scoping(spark, tmp_path):
+    class M(pt.Model):
+        k: int
+        v: int = pt.Field(ge=0)
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") - 50).alias("v")
+    )
+    result = ValidationRunner(M, "k").run(df, where=F.col("k") < 2)
+    assert sorted(v["partition"] for v in result.verdicts) == ["0", "1"]
+
+
+def test_read_csv_alias_generator(spark, tmp_path):
+    def lower(name: str) -> str:
+        return name.lower()
+
+    class M(pt.Model):
+        model_config = {"alias_generator": lower}
+        a: int
+        b: float
+
+    p = str(tmp_path / "x.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,2.5\n")
+    from patito_spark.sources import read_csv
+
+    out = read_csv(spark, p, M)
+    assert out.collect()[0].asDict() == {"a": 1, "b": 2.5}

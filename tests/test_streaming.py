@@ -1,0 +1,145 @@
+"""Structured Streaming validation: flags, quarantine, windows, state."""
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import patito_spark as pt
+from patito_spark.streaming import (
+    flag_violations,
+    validate_stream,
+    windowed_violation_counts,
+)
+from patito_spark.streaming.stateful import (
+    dedup_within_watermark,
+    running_column_stats,
+)
+
+
+class Event(pt.Model):
+    ts: dt.datetime
+    value: int = pt.Field(ge=0, le=100)
+    kind: str = pt.Field(allowed=["a", "b"])
+
+
+def _batch(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=i), v, k)
+        for i, (v, k) in enumerate(
+            [(5, "a"), (150, "a"), (7, "x"), (None, "b"), (99, "b")]
+        )
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, value int, kind string")
+
+
+def test_flag_violations_batch(spark):
+    flagged = flag_violations(_batch(spark), Event)
+    rows = {r["value"]: r for r in flagged.collect()}
+    assert rows[5]["_valid"] is True
+    assert rows[150]["_violations"] == ["value__bound0"]  # le first
+    assert rows[7]["_violations"] == ["kind__enum"]
+    assert rows[99]["_valid"] is True
+    # nulls never fail bounds (batch parity)
+    null_row = [r for r in flagged.collect() if r["value"] is None][0]
+    assert null_row["_violations"] == ["value__null"]
+
+
+def test_windowed_violation_counts(spark):
+    out = windowed_violation_counts(
+        _batch(spark), Event, "ts", window="1 minute"
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["rows"] == 5
+    assert row["value__bound0"] == 1
+    assert row["kind__enum"] == 1
+    assert row["value__null"] == 1
+
+
+def test_validate_stream_quarantine(spark, tmp_path):
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+        .select(F.col("timestamp").alias("ts"), F.col("value").cast("int").alias("value"),
+                F.lit("a").alias("kind"))
+    )
+    qdir = str(tmp_path / "bad")
+    valid, invalid, query = validate_stream(
+        stream, Event, quarantine_path=qdir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            query.processAllAvailable()
+            try:
+                if spark.read.parquet(qdir).count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        query.stop()
+    bad = spark.read.parquet(qdir)
+    assert bad.count() > 0
+    assert bad.agg(F.min("value")).collect()[0][0] == 101  # first out-of-bound
+
+
+def test_dedup_within_watermark_plan(spark):
+    # streaming-only operator: assert the plan builds on a real stream
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .select(F.col("timestamp").alias("ts"), (F.col("value") % 5).alias("k"))
+    )
+    deduped = dedup_within_watermark(stream, ["k"], "ts", "1 minute")
+    assert deduped.isStreaming
+
+
+def test_running_column_stats_state(spark, tmp_path):
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200")
+        .load()
+        .select(
+            (F.col("value") % 2).alias("k"),
+            F.col("value").cast("double").alias("x"),
+        )
+    )
+    out = running_column_stats(stream, "k", "x")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 40
+        rows = []
+        while time.time() < deadline:
+            query.processAllAvailable()
+            rows = spark.sql(
+                "select * from running_stats order by n desc"
+            ).collect()
+            if len({r["key"] for r in rows}) == 2 and all(
+                r["n"] > 10 for r in rows[:2]
+            ):
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], r)  # first = largest n (latest update)
+    assert set(by_key) == {0, 1}
+    # keys are even/odd values → means differ by exactly 1 once synced
+    m0, m1 = by_key[0]["mean"], by_key[1]["mean"]
+    assert abs(abs(m1 - m0) - 1.0) < 2.0  # loose: stream cut mid-batch
+    assert all(r["nulls"] == 0 for r in rows)

@@ -571,3 +571,39 @@ def test_spec_json_roundtrip():
     spec = json.loads(M.spec_json())
     assert [c["name"] for c in spec["columns"]] == ["a", "b"]
     assert spec["columns"][0]["unique"] is True
+
+
+def test_mixed_aggregate_row_constraint(spark):
+    # `field - field.mean() < 2`: aggregate evaluated once, broadcast into
+    # the row predicate (two-pass scalar splice; polars broadcasts natively)
+    class M(pt.Model):
+        x: float = pt.Field(constraints=pt.field - pt.field.mean() < 2.0)
+
+    # mean = 2.0 → only 10.0 deviates by ≥ 2
+    df = spark.createDataFrame([(1.0,), (1.0,), (10.0,), (2.0,)], "x double")
+    # mean of [1,1,10,2] = 3.5; 10-3.5=6.5 fails, others pass
+    with pytest.raises(pt.DataFrameValidationError) as e:
+        M.validate(df)
+    assert _errs(e) == [
+        {
+            "loc": ("x",),
+            "msg": "1 row does not match custom constraints.",
+            "type": "value_error.rowvalue",
+        }
+    ]
+    M.validate(spark.createDataFrame([(1.0,), (2.0,)], "x double"))
+
+
+def test_mixed_constraint_combined_with_row_constraint(spark):
+    class M(pt.Model):
+        x: float = pt.Field(
+            constraints=[pt.field - pt.field.min() <= 5.0, pt.field > 0.0]
+        )
+
+    # min = 1 → 8 fails the spread constraint; -1... (would change min);
+    # use [1, 8, -1]: min=-1, spread: 8-(-1)=9 fails; -1 fails positivity;
+    # 1 passes both → 2 failing rows, each counted once
+    df = spark.createDataFrame([(1.0,), (8.0,), (-1.0,)], "x double")
+    with pytest.raises(pt.DataFrameValidationError) as e:
+        M.validate(df)
+    assert _errs(e)[0]["msg"] == "2 rows does not match custom constraints."
