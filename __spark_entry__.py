@@ -654,6 +654,26 @@ GROUP BY l_returnflag, l_linestatus
 # -- non-SQL-expressible (rows-only checks) -----------------------------------
 
 
+def q_source_skew(spark, sf_dir):
+    """Hot-key share report (decides whether a join needs salting)."""
+    from patito_spark.plans.skew import skewness_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return skewness_report(docs, F.col("source"), top_n=5).withColumn(
+        "rows", F.col("rows").cast("long")
+    )
+
+
+SQL_SOURCE_SKEW = """
+WITH counts AS (
+  SELECT source AS key, count(*)::BIGINT AS rows FROM documents GROUP BY source
+), total AS (SELECT count(*) AS t FROM documents)
+SELECT key, rows, round(rows / CAST(t AS DOUBLE), 6) AS share
+FROM counts, total
+ORDER BY rows DESC, key ASC LIMIT 5
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from patito_spark.operators.dedup import embedding_near_duplicates
 
@@ -749,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
+        "source_skew": q_source_skew,
         # rows-only (non-SQL-expressible / engine-specific paths)
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_byte_hist": q_multimodal_byte_hist,
@@ -782,4 +803,5 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
+        "source_skew": SQL_SOURCE_SKEW,
     }

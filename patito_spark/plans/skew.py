@@ -1,0 +1,81 @@
+"""Explicit skew mitigation for joins over hot keys.
+
+Counting aggregations don't need manual salting — Spark's partial
+aggregation bounds reduce-side group sizes (see ``checks._duplicate_counts``).
+Joins are different: a sort-merge join on a key where one value covers ~30%
+of rows (hot URL domains, FIXTURES.md F1) sends that entire key range to
+one reducer.  Two mechanisms, in preference order:
+
+1. **AQE skew-join handling** (`spark.sql.adaptive.skewJoin.enabled`, on by
+   default) splits oversized partitions at runtime — free, use it first.
+2. **Explicit salting** (`salted_join`) for engines/paths AQE can't fix
+   (e.g. when the skewed side feeds a downstream aggregation keyed the same
+   way, or AQE is disabled): the fact side gets a random-ish salt in
+   ``[0, S)`` derived from intra-row entropy, the dim side is replicated S
+   times, and the join key becomes ``(key, salt)`` — the hot key spreads
+   over S reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def with_salt(df: DataFrame, salt_buckets: int = DEFAULT_SALT) -> DataFrame:
+    """Attach a deterministic-per-row salt column ``_salt`` in [0, S).
+
+    Uses ``monotonically_increasing_id`` (partition-local counter — no rng,
+    so retried tasks produce the same salt and the job stays deterministic).
+    """
+    return df.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+
+
+def replicate_for_salt(dim: DataFrame, salt_buckets: int = DEFAULT_SALT) -> DataFrame:
+    """Replicate the (small) dim side once per salt bucket."""
+    return dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Join a skewed fact table to a dim on ``on`` with explicit salting.
+
+    The dim is replicated ``salt_buckets``× (only viable when dim ≪ fact —
+    exactly the hot-domain case); each hot fact key now hashes to
+    ``salt_buckets`` distinct reducers.  Result columns match a plain join
+    (the salt is dropped).
+    """
+    salted_fact = with_salt(fact, salt_buckets)
+    salted_dim = replicate_for_salt(dim, salt_buckets)
+    out = salted_fact.join(salted_dim, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def skewness_report(df: DataFrame, key: Column, top_n: int = 10) -> DataFrame:
+    """Per-key share of rows for the heaviest keys — decide whether to salt.
+
+    One salted-by-construction aggregation (counting; partial agg absorbs
+    the skew it is measuring).
+    """
+    total = df.count()
+    return (
+        df.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("share", F.round(F.col("rows") / F.lit(total), 6))
+        .orderBy(F.col("rows").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

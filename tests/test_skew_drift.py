@@ -1,0 +1,102 @@
+"""Skew-join utilities and cross-run drift monitoring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.plans.drift import (
+    DriftMonitor,
+    build_profile,
+    compare_profiles,
+)
+from patito_spark.plans.skew import salted_join, skewness_report, with_salt
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key covering ~50% of rows
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("site"), F.col("id"), F.lit(".org")))
+        .alias("domain"),
+        F.col("id").alias("row_id"),
+    )
+
+
+def test_skewness_report(spark, skewed):
+    top = skewness_report(skewed, F.col("domain")).collect()
+    assert top[0]["key"] == "hot.example.com"
+    assert top[0]["share"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot.example.com", 1), ("site1.org", 2)], "domain string, dim_val int"
+    )
+    plain = skewed.join(dim, "domain").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s")
+    ).collect()[0]
+    salted = salted_join(skewed, dim, "domain").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dim_val").alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+    assert plain["n"] == 5001  # 5000 hot + site1
+
+
+def test_salt_spreads_hot_key(spark, skewed):
+    salted = with_salt(skewed, salt_buckets=8)
+    spread = (
+        salted.filter(F.col("domain") == "hot.example.com")
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8  # hot key occupies every salt bucket
+
+
+def test_left_salted_join_keeps_unmatched(spark, skewed):
+    dim = spark.createDataFrame([("hot.example.com", 1)], "domain string, v int")
+    out = salted_join(skewed, dim, "domain", how="left")
+    assert out.count() == 10_000
+    assert out.filter(F.col("v").isNull()).count() == 5_000
+
+
+# -- drift -----------------------------------------------------------------------
+
+
+def test_profile_and_self_compare(spark):
+    df = spark.range(10_000).select((F.col("id") % 500).cast("double").alias("x"))
+    prof = build_profile(df, "x")
+    assert prof["count"] == 10_000
+    assert prof["min"] == 0.0 and prof["max"] == 499.0
+    verdict = compare_profiles(prof, prof)
+    assert verdict["drifted"] is False
+    assert verdict["ks"] < 0.01
+    assert verdict["null_rate_delta"] == 0.0
+
+
+def test_drift_monitor_detects_shift(spark, tmp_path):
+    monitor = DriftMonitor(str(tmp_path / "profiles"))
+    base = spark.range(10_000).select((F.col("id") % 500).cast("double").alias("x"))
+    monitor.baseline(base, ["x"])
+    same = spark.range(10_000).select((F.col("id") % 500).cast("double").alias("x"))
+    clean = monitor.check(same, ["x"])
+    assert clean[0]["drifted"] is False
+    shifted = spark.range(10_000).select(
+        ((F.col("id") % 500) + 250).cast("double").alias("x")
+    )
+    drifted = monitor.check(shifted, ["x"])
+    assert drifted[0]["drifted"] is True
+    assert drifted[0]["ks"] > 0.2
+
+
+def test_drift_monitor_null_rate(spark, tmp_path):
+    monitor = DriftMonitor(str(tmp_path / "p2"))
+    base = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    monitor.baseline(base, ["x"])
+    with_nulls = spark.range(1000).select(
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id"))
+        .cast("double")
+        .alias("x")
+    )
+    verdict = monitor.check(with_nulls, ["x"])[0]
+    assert verdict["null_rate_delta"] == pytest.approx(0.25, abs=0.01)
