@@ -188,13 +188,20 @@ class ValidationRunner:
             errors=schema_errors,
             specs=model.__column_specs__,
             model_config=model.model_config,
-            df_columns=[c for c in df.columns if c != self.partition_name]
-            if self.partition_expr is not None
-            else df.columns,
+            # the declared partition column is runner plumbing: when it is
+            # NOT a model column, don't report it superfluous — but when it
+            # IS one (the normal case), it must stay visible or V1 would
+            # report it missing
+            df_columns=[
+                c
+                for c in df.columns
+                if c != self.partition_name
+                or self.partition_name in model.__column_specs__
+            ],
             df_types={f.name: f.dataType for f in df.schema.fields},
             columns=None,
             allow_missing_columns=False,
-            allow_superfluous_columns=self.partition_expr is not None,
+            allow_superfluous_columns=False,
             path="",
             loc="",
             guard=None,

@@ -104,11 +104,8 @@ def test_runner_per_partition_verdicts(spark, pages, tmp_path):
     # violations keyed by partition and column
     cols = {v["column"] for v in result.violations}
     assert {"lang", "url", "warc_ts"} <= cols
-    # superfluous columns recorded at run level
-    assert any(
-        v["partition"] == "*" and v["column"] == "crawl_date"
-        for v in result.violations
-    )
+    # the declared partition column is runner plumbing, never an error
+    assert not any(v["column"] == "crawl_date" for v in result.violations)
 
 
 def test_runner_resume_skips_finished(spark, pages, tmp_path):
