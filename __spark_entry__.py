@@ -744,6 +744,94 @@ FROM documents
 """
 
 
+
+
+def q_per_partition_report(spark, sf_dir):
+    """The runner's north-rule output shape — per-partition violation rows —
+    oracle-checked: one row per (partition, column, check)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy(F.col("lang").alias("partition")).agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.sum((~(F.col("n_chars") >= 100)).cast("long")).alias("n_chars_min"),
+        F.sum((~(F.col("n_chars") <= 400)).cast("long")).alias("n_chars_max"),
+        F.sum((~F.col("source").rlike("^src[0-9]+$")).cast("long")).alias(
+            "source_pattern"
+        ),
+    )
+    return agg.select(
+        "partition",
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_chars").alias("column"), F.lit("minimum").alias("check"), F.col("n_chars_min").alias("violations"), F.col("rows").alias("partition_rows")),
+                F.struct(F.lit("n_chars").alias("column"), F.lit("maximum").alias("check"), F.col("n_chars_max").alias("violations"), F.col("rows").alias("partition_rows")),
+                F.struct(F.lit("source").alias("column"), F.lit("pattern").alias("check"), F.col("source_pattern").alias("violations"), F.col("rows").alias("partition_rows")),
+            )
+        ).alias("r"),
+    ).select("partition", "r.*")
+
+
+SQL_PER_PARTITION_REPORT = """
+WITH agg AS (
+  SELECT lang AS partition, count(*)::BIGINT AS rows,
+         sum(CASE WHEN NOT (n_chars >= 100) THEN 1 ELSE 0 END)::BIGINT AS n_chars_min,
+         sum(CASE WHEN NOT (n_chars <= 400) THEN 1 ELSE 0 END)::BIGINT AS n_chars_max,
+         sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)::BIGINT AS source_pattern
+  FROM documents GROUP BY lang
+)
+SELECT partition, 'n_chars' AS "column", 'minimum' AS "check", n_chars_min AS violations, rows AS partition_rows FROM agg
+UNION ALL SELECT partition, 'n_chars', 'maximum', n_chars_max, rows FROM agg
+UNION ALL SELECT partition, 'source', 'pattern', source_pattern, rows FROM agg
+"""
+
+
+def q_orders_join_revenue(spark, sf_dir):
+    """Broadcast fact-dim join + aggregation (general join capability)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_ORDERS_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_nation_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_CUSTOMER_NATION_JOIN = """
+SELECT r_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_counts": q_null_counts,
@@ -770,6 +858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
+        "per_partition_report": q_per_partition_report,
+        "orders_join_revenue": q_orders_join_revenue,
+        "customer_nation_join": q_customer_nation_join,
         # rows-only (non-SQL-expressible / engine-specific paths)
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_byte_hist": q_multimodal_byte_hist,
@@ -804,4 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,
+        "per_partition_report": SQL_PER_PARTITION_REPORT,
+        "orders_join_revenue": SQL_ORDERS_JOIN_REVENUE,
+        "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
     }

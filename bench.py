@@ -48,6 +48,8 @@ HEADLINE = [
     "stats_profile",
     "pricing_summary",
     "ri_orphans",
+    "orders_join_revenue",
+    "per_partition_report",
 ]
 
 
