@@ -10,7 +10,9 @@ reference — patito stops at column uniqueness, ``validators.py:235-244``):
   pairs only ever materialize within a bucket.  Buckets above
   ``max_bucket_size`` are dropped *and counted* — boilerplate pages would
   otherwise create O(n²) pair explosions (silent truncation would read as
-  "covered everything", so the count is returned).
+  "covered everything", so the count is returned).  Bucket sizing happens
+  BEFORE any member list is collected (see ``_bounded_buckets``), so a hot
+  bucket never materializes an aggregation array.
 - **SimHash**: 60-bit signature via per-token hash bit-voting (single-pass
   higher-order aggregate, no explode); near-dup pairs found by pigeonhole
   banding into 4 chunks — hamming ≤ 3 guarantees one identical chunk.
@@ -97,6 +99,33 @@ def _materialize(df: DataFrame, **cols: Column) -> DataFrame:
     return df
 
 
+def _bounded_buckets(
+    banded: DataFrame, keys: list, max_bucket_size: int, *aggs: Column
+) -> DataFrame:
+    """Aggregate only buckets with ``1 < size <= max_bucket_size``.
+
+    The size gate runs BEFORE any ``collect_list``: a window ``count`` over
+    the bucket key (spillable row buffer — never builds an array) sizes
+    every bucket in the same shuffle, the filter drops oversized buckets,
+    and only then does the group aggregate materialize member lists.  A hot
+    boilerplate bucket with millions of members therefore costs a disk
+    spill at worst, never an executor-OOM-sized aggregation buffer.  The
+    groupBy reuses the window's hash partitioning — one shuffle total.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    return (
+        sized.filter(
+            (F.col("_bucket_n") > 1) & (F.col("_bucket_n") <= max_bucket_size)
+        )
+        .drop("_bucket_n")
+        .groupBy(*keys)
+        .agg(*aggs)
+    )
+
+
 def minhash_signature(
     text_col: Column, num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3
 ) -> Column:
@@ -143,11 +172,10 @@ def minhash_candidate_pairs(
     dropped; their count is exposed via ``minhash_oversized_buckets``.
     """
     banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
-    grouped = banded.groupBy("band", "bucket").agg(
+    ok = _bounded_buckets(
+        banded, ["band", "bucket"], max_bucket_size,
         F.sort_array(F.collect_list("_id")).alias("ids"),
-        F.count(F.lit(1)).alias("n"),
     )
-    ok = grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
     pairs = (
         ok.select(
             F.explode(
@@ -362,11 +390,10 @@ def simhash_candidate_pairs(
             )
         ).alias("chunk", "value"),
     )
-    grouped = banded.groupBy("chunk", "value").agg(
+    ok = _bounded_buckets(
+        banded, ["chunk", "value"], max_bucket_size,
         F.sort_array(F.collect_list(F.struct("_id", "_sh"))).alias("members"),
-        F.count(F.lit(1)).alias("n"),
     )
-    ok = grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
     pairs = (
         ok.select(
             F.explode(
@@ -498,11 +525,10 @@ def embedding_near_duplicates(
         )
         bucket = bucket + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0))
     hashed = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), bucket.alias("_b"))
-    grouped = hashed.groupBy("_b").agg(
+    ok = _bounded_buckets(
+        hashed, ["_b"], max_bucket_size,
         F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("members"),
-        F.count(F.lit(1)).alias("n"),
     )
-    ok = grouped.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
     pairs = ok.select(
         F.explode(
             F.flatten(

@@ -20,6 +20,7 @@ from patito_spark.operators.dedup import (
     hamming_distance,
     minhash_candidate_pairs,
     minhash_dedup_pairs,
+    minhash_oversized_buckets,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidate_pairs,
@@ -177,6 +178,40 @@ def test_minhash_no_false_exact_misses(spark, docs):
         (r["doc_id"], r["doc_id"] + 100_000) for r in docs.limit(3).collect()
     }
     assert planted <= found
+
+
+def test_oversized_bucket_never_aggregated(spark, docs):
+    # 80 identical "boilerplate" docs form a bucket above max_bucket_size in
+    # every band; 2 planted exact dups stay under it.  The pair stage must
+    # (a) emit only small-bucket pairs, (b) still count the dropped bucket,
+    # and (c) place the bucket-size Filter BELOW the collect_list aggregate
+    # so the oversized bucket never materializes a member array (the 100 TB
+    # OOM guard).
+    boiler = spark.range(80).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit("boilerplate page repeated verbatim across the crawl").alias(
+            "text"
+        ),
+    )
+    keep = docs.limit(2).select("doc_id", "text")
+    dup = keep.withColumn("doc_id", F.col("doc_id") + 100_000)
+    corpus = keep.unionByName(dup).unionByName(boiler)
+    pairs = minhash_candidate_pairs(
+        corpus, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=8
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(a < 500_000 and b < 500_000 for a, b in found)
+    planted = {(r["doc_id"], r["doc_id"] + 100_000) for r in keep.collect()}
+    assert planted <= found
+    dropped = minhash_oversized_buckets(
+        corpus, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=8
+    )
+    assert dropped >= 4  # the boilerplate bucket is dropped in every band
+    # plan shape: collect_list (Aggregate) must sit ABOVE the window-count
+    # filter — i.e. the size gate executes first
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan and "_bucket_n" in plan
+    assert plan.index("collect_list") < plan.index("_bucket_n")
 
 
 # -- simhash ----------------------------------------------------------------------------------
