@@ -675,42 +675,205 @@ ORDER BY rows DESC, key ASC LIMIT 5
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Hyperplane-LSH near-duplicate pairs.  Five exact copies are planted
+    by construction (same construction in the oracle) so the query returns
+    non-zero rows at every SF; everything runs in double precision so both
+    engines agree bit-wise after 6 dp rounding."""
     from patito_spark.operators.dedup import embedding_near_duplicates
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000)
+    )
+    corpus = emb.unionByName(planted)
     return embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.9, planes=8
+        corpus, "vec_id", "embedding", threshold=0.9, planes=8, dim=64
     )
 
 
+def _hyperplane_literals(planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """The engine's deterministic md5-seeded hyperplanes
+    (patito_spark/operators/dedup.py::embedding_near_duplicates) — replicated
+    here so the DuckDB oracle can embed them as SQL literals."""
+    import hashlib
+
+    return [
+        [
+            ((int.from_bytes(hashlib.md5(f"plane{p}dim{i}".encode()).digest()[:4], "big") % 2000) - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _sql_embedding_near_dups(planes: int = 8, dim: int = 64) -> str:
+    plane_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(x) for x in plane))
+        for p, plane in enumerate(_hyperplane_literals(planes, dim))
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 5
+), planes(p, pv) AS (
+  VALUES
+    {plane_rows}
+), dots AS (
+  SELECT c.vec_id, pl.p,
+         list_reduce(list_transform(range(1, {dim} + 1),
+             i -> c.embedding[CAST(i AS INTEGER)] * pl.pv[CAST(i AS INTEGER)]),
+             (a, b) -> a + b) AS dot
+  FROM corpus c CROSS JOIN planes pl
+), buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS b
+  FROM dots GROUP BY vec_id
+), withb AS (
+  SELECT c.vec_id, c.embedding, b.b FROM corpus c JOIN buckets b USING (vec_id)
+)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, bb.embedding), 6) AS cosine
+FROM withb a JOIN withb bb ON a.b = bb.b AND a.vec_id < bb.vec_id
+WHERE round(list_cosine_similarity(a.embedding, bb.embedding), 6) >= 0.9
+"""
+
+
 def q_multimodal_byte_hist(spark, sf_dir):
+    """Arrow-batched byte histogram over binary payloads, exploded to one
+    row per (doc, bucket) so every cell is a canonicalizable scalar."""
     from patito_spark.operators.multimodal import byte_histogram
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return byte_histogram(docs, "doc_id", "payload")
+    hist = byte_histogram(docs, "doc_id", "payload")
+    return hist.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bytes"),
+        F.posexplode("hist").alias("bucket", "byte_count"),
+    )
+
+
+# bucket = byte // 16 = the byte's high nibble = the first hex char of each
+# byte pair in hex(encode(text)) — so the histogram is countable in pure SQL
+SQL_MULTIMODAL_BYTE_HIST = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+), pos AS (
+  SELECT doc_id, length(hx) // 2 AS n_bytes,
+         list_transform(range(1, length(hx) + 1, 2),
+                        p -> substring(hx, CAST(p AS INTEGER), 1)) AS nibbles
+  FROM h
+)
+SELECT doc_id, n_bytes::BIGINT AS n_bytes, u.b::INTEGER AS bucket,
+       len(list_filter(nibbles,
+           x -> x = substring('0123456789ABCDEF', CAST(u.b + 1 AS INTEGER), 1)
+       ))::BIGINT AS byte_count
+FROM pos, unnest(range(0, 16)) AS u(b)
+"""
 
 
 def q_ks_drift_by_lang(spark, sf_dir):
-    from patito_spark.plans.stats import ks_exact_by_group, quantile_sketch
+    """Per-language KS drift vs the GLOBAL n_chars distribution, evaluated
+    on a 101-point value grid whose points and CDF are integer-count-derived
+    (grid_cdf_reference) — bit-exact across engines, so the grouped
+    applyInPandas KS path is hash-checkable against DuckDB."""
+    from patito_spark.plans.stats import grid_cdf_reference, ks_exact_vs_cdf
 
     docs = _t(spark, sf_dir, "documents")
-    ref = quantile_sketch(docs.select(F.col("n_chars").cast("double").alias("x")), "x")
-    return ks_exact_by_group(
-        docs.select("lang", F.col("n_chars").cast("double").alias("x")), "lang", "x", ref
-    ).select("lang", F.round("ks", 4).alias("ks"), "n")
+    xs = docs.select("lang", F.col("n_chars").cast("double").alias("x"))
+    pts, cdf = grid_cdf_reference(xs, "x", points=101)
+    return ks_exact_vs_cdf(xs, "lang", "x", pts, cdf).select(
+        "lang", F.round("ks", 4).alias("ks"), "n"
+    )
+
+
+SQL_KS_DRIFT_BY_LANG = """
+WITH bounds AS (
+  SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi,
+         count(n_chars)::BIGINT AS total
+  FROM documents
+), grid AS (
+  SELECT u.i AS i, b.lo + (u.i * (b.hi - b.lo)) / 100.0 AS v, b.total
+  FROM bounds b, unnest(range(0, 101)) AS u(i)
+), gcdf AS (
+  SELECT g.i, g.v,
+         sum(CASE WHEN d.n_chars::DOUBLE <= g.v THEN 1 ELSE 0 END)::BIGINT
+           / g.total::DOUBLE AS cdf
+  FROM grid g CROSS JOIN documents d
+  GROUP BY g.i, g.v, g.total
+), pos AS (
+  SELECT d.lang, g.i,
+         sum(CASE WHEN d.n_chars::DOUBLE <= g.v THEN 1 ELSE 0 END)::BIGINT AS c,
+         count(d.n_chars)::BIGINT AS n
+  FROM documents d CROSS JOIN grid g
+  GROUP BY d.lang, g.i
+)
+SELECT p.lang, round(max(abs(p.c / p.n::DOUBLE - gc.cdf)), 4) AS ks,
+       min(p.n)::BIGINT AS n
+FROM pos p JOIN gcdf gc ON p.i = gc.i
+GROUP BY p.lang
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF bucketed ANN with REAL pruning (nprobe=4 of 8 centroid buckets);
+    centroids are the 8 lowest-id vectors, so the whole index is
+    deterministic and the oracle reproduces it in SQL."""
     from patito_spark.operators.similarity import build_ivf_index, ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
     indexed, centroids = build_ivf_index(emb, n_centroids=8)
-    return ivf_topk(indexed, centroids, probes, k=5, nprobe=8)
+    return ivf_topk(indexed, centroids, probes, k=5, nprobe=4)
+
+
+SQL_IVF_TOPK = """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), asims AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                    c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid AS centroid FROM asims WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec
+  FROM embeddings WHERE vec_id < 3
+), psims AS (
+  SELECT p.probe_id, p.pvec, c.cid,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY list_cosine_similarity(p.pvec, c.cvec) DESC, c.cid ASC) AS rn
+  FROM probes p CROSS JOIN cent c
+), probe_buckets AS (
+  SELECT probe_id, pvec, cid FROM psims WHERE rn <= 4
+), cand AS (
+  SELECT pb.probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], pb.pvec), 6) AS cosine
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN probe_buckets pb ON a.centroid = pb.cid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT probe_id, neighbor_id, cosine, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_streaming_flags(spark, sf_dir):
@@ -861,9 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_partition_report": q_per_partition_report,
         "orders_join_revenue": q_orders_join_revenue,
         "customer_nation_join": q_customer_nation_join,
-        # rows-only (non-SQL-expressible / engine-specific paths)
-        "embedding_near_dups": q_embedding_near_dups,
         "multimodal_byte_hist": q_multimodal_byte_hist,
+        "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
         "ivf_topk": q_ivf_topk,
     }
@@ -898,4 +1060,8 @@ def oracle_sql() -> dict[str, str]:
         "per_partition_report": SQL_PER_PARTITION_REPORT,
         "orders_join_revenue": SQL_ORDERS_JOIN_REVENUE,
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
+        "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
+        "embedding_near_dups": _sql_embedding_near_dups(),
+        "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,
+        "ivf_topk": SQL_IVF_TOPK,
     }

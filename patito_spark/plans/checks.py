@@ -53,11 +53,6 @@ from ..errors import (
 )
 from ..expr import Expr
 
-#: Salt buckets for the uniqueness pre-aggregation. Partition-id salting is
-#: free (no hash computation) and caps any single reduce-side group at
-#: #map-partitions rows.
-_UNIQUE_SALT_BUCKETS = 64
-
 #: Upper bound on distinct impermissible enum values shipped to the driver.
 #: The reference reports the full set (validators.py:436); at web scale an
 #: unbounded collect_set is a driver OOM, so we cap (far above test domains).

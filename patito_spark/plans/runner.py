@@ -177,7 +177,16 @@ class ValidationRunner:
 
         finished = self._finished_partitions(spark)
         if finished:
-            df = df.filter(~part.isin(*finished))
+            # null-safe resume: `~isin` evaluates to NULL (row silently
+            # dropped) for a NULL partition value, so the null partition is
+            # kept/skipped explicitly based on whether its verdict (recorded
+            # as a NULL `partition` cell) is already checkpointed
+            non_null = [v for v in finished if v is not None]
+            pending_named = ~part.isin(*non_null) if non_null else F.lit(True)
+            keep = (part.isNotNull() & pending_named) | (
+                part.isNull() & F.lit(None not in finished)
+            )
+            df = df.filter(keep)
 
         # Job 0: schema-level errors — apply to the whole run
         schema_violations: list = []
@@ -281,7 +290,9 @@ class ValidationRunner:
             )
 
         self._persist(spark, verdicts, violations)
-        return RunResult(run_id, verdicts, violations, sorted(finished))
+        # None (the null partition's checkpoint key) sorts first
+        skipped = sorted(finished, key=lambda p: (p is not None, p))
+        return RunResult(run_id, verdicts, violations, skipped)
 
     def report(self, spark: SparkSession) -> DataFrame:
         """The persisted violations table for this checkpoint dir."""

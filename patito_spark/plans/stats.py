@@ -108,6 +108,82 @@ def quantile_sketch(
     return list(row["q"]) if row["q"] is not None else []
 
 
+def grid_cdf_reference(
+    df: DataFrame, column: str, points: int = 101
+) -> tuple:
+    """Deterministic KS reference: ``points`` evenly spaced values between
+    the global min and max, each paired with the global empirical CDF.
+
+    Unlike an interpolated quantile sketch, every quantity here is derived
+    from exact integer counts and two exactly-representable extremes, so any
+    engine (Spark, DuckDB, pandas) reproduces it bit-for-bit — which makes
+    KS statistics computed against it cross-engine hash-comparable.  Two
+    single-pass aggregations: (min, max, n) then one conditional-count row.
+    """
+    row = df.agg(
+        F.min(column).cast("double").alias("lo"),
+        F.max(column).cast("double").alias("hi"),
+        F.count(column).alias("n"),
+    ).collect()[0]
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if lo is None or n == 0:
+        return [], []
+    pts = [lo + i * (hi - lo) / (points - 1) for i in range(points)]
+    counts = df.agg(
+        *[
+            F.sum((F.col(column) <= F.lit(p)).cast("long")).alias(f"c{i}")
+            for i, p in enumerate(pts)
+        ]
+    ).collect()[0]
+    return pts, [counts[i] / n for i in range(points)]
+
+
+def ks_exact_vs_cdf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_points: Sequence[float],
+    ref_cdf: Sequence[float],
+) -> DataFrame:
+    """Exact per-group KS statistic against an explicit (points, cdf)
+    reference — e.g. from :func:`grid_cdf_reference`.
+
+    Same grouped ``applyInPandas`` shape as :func:`ks_exact_by_group`
+    (Arrow-batched, vectorized numpy — no per-row Python), but the reference
+    CDF is given directly instead of assumed equi-probability, so the
+    statistic is integer-count-derived and bit-exact across engines.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    pts = np.asarray(list(ref_points), dtype="float64")
+    cdf = np.asarray(list(ref_cdf), dtype="float64")
+    schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField("ks", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        values = np.sort(pdf[value_col].dropna().to_numpy(dtype="float64"))
+        n = len(values)
+        if n == 0 or len(pts) == 0:
+            stat = float("nan")
+        else:
+            # searchsorted(side="right") == count(values <= point)
+            positions = np.searchsorted(values, pts, side="right") / n
+            stat = float(np.max(np.abs(positions - cdf)))
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "ks": [stat], "n": [n]}
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        _ks, schema
+    )
+
+
 def ks_from_sketches(q_a: Sequence[float], q_b: Sequence[float]) -> float:
     """Approximate two-sample Kolmogorov–Smirnov statistic from two
     equi-spaced quantile sketches (driver-side, O(len) merge).

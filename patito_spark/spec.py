@@ -683,9 +683,6 @@ def _derive_model(name: str, fields: dict) -> type:
     return ModelMetaclass(name, (Model,), namespace)
 
 
-_SPARK_TYPE_TO_ANNOTATION: list = None  # populated lazily
-
-
 def model_from_spec_json(payload: str) -> type:
     """Reconstruct a Model class from ``Model.spec_json()`` output.
 

@@ -141,6 +141,33 @@ def test_runner_partial_resume(spark, tmp_path):
     assert r2.skipped_partitions == ["0", "1"]
 
 
+def test_runner_resume_null_partition(spark, tmp_path):
+    from typing import Optional
+
+    ckpt = str(tmp_path / "nullpart")
+
+    class M(pt.Model):
+        k: Optional[int]
+        v: int = pt.Field(ge=0)
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (0, 3), (1, 4)], "k int, v int"
+    )
+    # first run sees only the named partitions
+    r1 = ValidationRunner(M, "k", checkpoint_dir=ckpt).run(
+        df.filter(F.col("k").isNotNull())
+    )
+    assert sorted(v["partition"] for v in r1.verdicts) == ["0", "1"]
+    # resume: the NULL partition was never validated — it must not be
+    # silently dropped by the null-unsafe ~isin predicate
+    r2 = ValidationRunner(M, "k", checkpoint_dir=ckpt).run(df)
+    assert [v["partition"] for v in r2.verdicts] == [None]
+    assert r2.verdicts[0]["n_rows"] == 2
+    # once its verdict is checkpointed, the NULL partition is skipped too
+    r3 = ValidationRunner(M, "k", checkpoint_dir=ckpt).run(df)
+    assert len(r3.verdicts) == 0
+
+
 def test_runner_attributes_cross_partition_duplicates(spark, tmp_path):
     class M(pt.Model):
         p: int
