@@ -832,7 +832,7 @@ def q_ivf_topk(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    indexed, centroids = build_ivf_index(emb, n_centroids=8)
+    indexed, centroids = build_ivf_index(emb, n_centroids=8, strategy="first")
     return ivf_topk(indexed, centroids, probes, k=5, nprobe=4)
 
 

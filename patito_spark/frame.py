@@ -17,6 +17,7 @@ from typing import Any, Iterator, Optional, Union
 from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .errors import MultipleRowsReturned, RowDoesNotExist
 from .expr import Expr
@@ -238,16 +239,74 @@ class DataFrame:
         return type(self)(self._df.select(*exprs, *passthrough))
 
     # -- fill_null (≈ polars.py:637-708) ------------------------------------------------
-    def fill_null(self, strategy: str = "defaults") -> "DataFrame":
-        """Fill nulls with model defaults; create missing columns from defaults."""
-        if strategy != "defaults":
+    def fill_null(
+        self,
+        value: Any = None,
+        strategy: Optional[str] = None,
+        limit: Optional[int] = None,
+        matches_supertype: bool = True,
+    ) -> "DataFrame":
+        """Fill nulls with a literal, a strategy, or model defaults.
+
+        Strategies mirror the reference (``polars.py:637-708``):
+
+        - ``"defaults"`` (also the behavior when called with no arguments):
+          fill from model field defaults, creating missing columns.
+        - ``"zero"`` / ``"one"``: numeric columns filled with 0 / 1.
+        - ``"min"`` / ``"max"`` / ``"mean"``: numeric columns filled with the
+          column's aggregate — ONE aggregation job, then a coalesce per
+          column (the 100 TB shape: a single scan producing one tiny row).
+        - ``"forward"`` / ``"backward"``: documented divergence — Spark
+          DataFrames have no inherent row order, so order-dependent fills
+          are ill-defined without an explicit sort key and raise.
+        """
+        if value is not None and strategy is None:
+            return type(self)(self._df.fillna(value))
+        if strategy in ("forward", "backward"):
             raise ValueError(
-                "Only strategy='defaults' is model-aware; use the plain "
-                "Spark df.fillna for value fills."
+                f"strategy={strategy!r} requires an inherent row order, which "
+                "Spark DataFrames do not have; sort by an explicit key and "
+                "use window functions (F.last(..., ignorenulls=True) over an "
+                "ordered window) instead."
             )
+        if strategy in ("zero", "one"):
+            fill = 0 if strategy == "zero" else 1
+            numeric = [
+                f.name
+                for f in self._df.schema.fields
+                if isinstance(f.dataType, T.NumericType)
+            ]
+            out = {
+                c: F.coalesce(F.col(c), F.lit(fill).cast(self._df.schema[c].dataType))
+                for c in numeric
+            }
+            return type(self)(self._df.withColumns(out)) if out else self
+        if strategy in ("min", "max", "mean"):
+            agg_fn = {"min": F.min, "max": F.max, "mean": F.avg}[strategy]
+            numeric = [
+                f.name
+                for f in self._df.schema.fields
+                if isinstance(f.dataType, T.NumericType)
+            ]
+            if not numeric:
+                return self
+            stats = self._df.agg(
+                *[agg_fn(c).alias(c) for c in numeric]
+            ).collect()[0]
+            out = {
+                c: F.coalesce(
+                    F.col(c),
+                    F.lit(stats[c]).cast(self._df.schema[c].dataType),
+                )
+                for c in numeric
+                if stats[c] is not None
+            }
+            return type(self)(self._df.withColumns(out)) if out else self
+        if strategy not in (None, "defaults"):
+            raise ValueError(f"Unknown fill_null strategy: {strategy!r}")
         model = self._require_model()
         df = self._df
-        out: dict[str, Column] = {}
+        out = {}
         for name, default in model.defaults.items():
             spec = model.__column_specs__[name]
             lit = F.lit(default).cast(spec.dtype)
@@ -281,7 +340,15 @@ class DataFrame:
 
     # -- get (≈ polars.py:710-790) -----------------------------------------------------
     def get(self, predicate: Union[Column, Expr, None] = None) -> Any:
-        """Filter to exactly one row and materialize it as a model instance."""
+        """Filter to exactly one row and materialize it as a model instance.
+
+        Without a bound model a dynamic ``UntypedRow`` model is synthesized
+        from the frame's schema (reference ``polars.py:855-873``), so the
+        result always supports attribute access.  Error messages match the
+        reference exactly (``polars.py:781-786``); the exact row count in
+        the multiple-rows message costs one extra job, but only on the
+        error path.
+        """
         df = self._df
         if predicate is not None:
             if isinstance(predicate, Expr):
@@ -289,15 +356,27 @@ class DataFrame:
             df = df.filter(predicate)
         rows = df.take(2)
         if len(rows) == 0:
-            raise RowDoesNotExist(f"{type(self).__name__} query returned 0 rows")
+            raise RowDoesNotExist(f"{type(self).__name__}.get() yielded 0 rows.")
         if len(rows) > 1:
             raise MultipleRowsReturned(
-                f"{type(self).__name__} query returned 2 or more rows"
+                f"{type(self).__name__}.get() yielded {df.count()} rows."
             )
-        model = self.model
-        if model is None:
-            return rows[0].asDict(recursive=True)
+        model = self.model or self._untyped_row_model()
         return model.from_row(rows[0])
+
+    def _untyped_row_model(self) -> type:
+        """Dynamic model matching this frame's schema (≈ ``_pydantic_model``,
+        reference ``polars.py:855-873``) — every field typed from the Spark
+        schema, nullable where the schema says so."""
+        from .spec import MISSING, FieldInfo, _annotation_for_spark_type, _derive_model
+
+        fields = {}
+        for f in self._df.schema.fields:
+            anno = _annotation_for_spark_type(f.dataType)
+            if f.nullable:
+                anno = Optional[anno]
+            fields[f.name] = (anno, FieldInfo(MISSING))
+        return _derive_model("UntypedRow", fields)
 
     # -- iter_models (≈ polars.py:792-853) ----------------------------------------------
     def iter_models(

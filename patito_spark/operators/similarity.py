@@ -123,22 +123,66 @@ def topk_blockwise(
     )
 
 
+def _kmeans_centroids(vectors: list, k: int, iters: int) -> list:
+    """Deterministic spherical k-means (Lloyd) on a driver-side sample.
+
+    Fully deterministic: init = first ``k`` sample vectors (the sample is
+    id-ordered), all math in float64, fixed iteration count — so repeated
+    runs and test assertions agree bit-for-bit.  All O(sample × k) work
+    happens once on the driver; executors only ever see the resulting
+    centroid literals.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    X = np.asarray(vectors, dtype="float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                mean = members.sum(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    C[j] = mean / norm
+    return [list(map(float, row)) for row in C]
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "kmeans",
+    sample_size: int = 4096,
+    iters: int = 10,
 ) -> tuple:
     """Assign every vector to its nearest deterministic centroid.
 
-    Centroids are the ``n_centroids`` lowest-id vectors (deterministic and
-    cheap; swap in k-means|| offline for production recall).  Returns
+    ``strategy="kmeans"`` (default): spherical k-means on the ``sample_size``
+    lowest-id vectors — deterministic, driver-side numpy, good bucket
+    balance.  ``strategy="first"``: centroids are simply the ``n_centroids``
+    lowest-id vectors — cheaper and trivially reproducible in plain SQL
+    (used by the oracle-checked contract query).  Returns
     ``(indexed_df, centroids)`` where indexed_df has a ``_centroid`` column
     — persist it bucketed by ``_centroid`` so probe-time reads prune.
     """
-    centroids = (
-        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    )
+    if strategy == "kmeans":
+        sample = (
+            corpus.orderBy(id_col)
+            .limit(sample_size)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cvecs = _kmeans_centroids([r[1] for r in sample], n_centroids, iters)
+        centroids = [(None, v) for v in cvecs]
+    elif strategy == "first":
+        centroids = (
+            corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        )
+    else:
+        raise ValueError(f"Unknown IVF centroid strategy: {strategy!r}")
     cent_structs = F.array(
         *[
             F.struct(

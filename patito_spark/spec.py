@@ -279,6 +279,148 @@ class ColumnSpec:
     def struct_field(self) -> T.StructField:
         return T.StructField(self.name, self.dtype, nullable=self.nullable)
 
+    # -- per-instance value validation ------------------------------------------
+    def validate_value(self, value: Any) -> tuple:
+        """Coerce + validate one Python value against this spec.
+
+        Driver-side per-field validation for model-instance construction.
+        The reference constructs instances through pydantic, so wrong-typed
+        or out-of-bounds values raise there (``polars.py:846-850``,
+        ``tests/test_polars.py``); this mirrors pydantic v2's lax mode:
+        int/float/str cross-coercion where lossless, bool never coerced to
+        int, fractional floats never truncated to int.
+
+        Returns ``(coerced_value, errors)`` where each error is a
+        ``(sub_loc or None, exception)`` pair — sub_loc is a dotted path
+        inside nested struct / list-of-struct fields.
+        """
+        from .errors import ColumnDTypeError, MissingValuesError, RowValueError
+
+        errors: list = []
+        if value is None:
+            if not self.nullable:
+                errors.append((None, MissingValuesError("Input should not be None")))
+            return None, errors
+
+        dtype = self.dtype
+        coerced = value
+        # -- type coercion -----------------------------------------------------
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+                errors.append((None, ColumnDTypeError("Input should be a valid integer")))
+            elif isinstance(value, float):
+                if value.is_integer():
+                    coerced = int(value)
+                else:
+                    errors.append((None, ColumnDTypeError(
+                        "Input should be a valid integer, got a number with a fractional part"
+                    )))
+            elif isinstance(value, str):
+                try:
+                    coerced = int(value)
+                except ValueError:
+                    errors.append((None, ColumnDTypeError(
+                        "Input should be a valid integer, unable to parse string as an integer"
+                    )))
+        elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+            if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+                errors.append((None, ColumnDTypeError("Input should be a valid number")))
+            elif isinstance(value, str):
+                try:
+                    coerced = float(value)
+                except ValueError:
+                    errors.append((None, ColumnDTypeError(
+                        "Input should be a valid number, unable to parse string as a number"
+                    )))
+            else:
+                coerced = float(value)
+        elif isinstance(dtype, T.StringType):
+            if not isinstance(value, str):
+                errors.append((None, ColumnDTypeError("Input should be a valid string")))
+        elif isinstance(dtype, T.BooleanType):
+            if not isinstance(value, bool):
+                errors.append((None, ColumnDTypeError("Input should be a valid boolean")))
+        elif isinstance(dtype, T.TimestampType) or (
+            hasattr(T, "TimestampNTZType") and isinstance(dtype, T.TimestampNTZType)
+        ):
+            if not isinstance(value, dt.datetime):
+                errors.append((None, ColumnDTypeError("Input should be a valid datetime")))
+        elif isinstance(dtype, T.DateType):
+            if isinstance(value, dt.datetime) or not isinstance(value, dt.date):
+                errors.append((None, ColumnDTypeError("Input should be a valid date")))
+        elif isinstance(dtype, T.BinaryType):
+            if not isinstance(value, (bytes, bytearray)):
+                errors.append((None, ColumnDTypeError("Input should be a valid bytes")))
+        elif isinstance(dtype, T.ArrayType):
+            if not isinstance(value, (list, tuple)):
+                errors.append((None, ColumnDTypeError("Input should be a valid list")))
+            else:
+                coerced = list(value)
+                if self.model is not None:
+                    coerced = [
+                        self._validate_nested(item, errors, sub_loc=str(i))
+                        for i, item in enumerate(coerced)
+                    ]
+        elif isinstance(dtype, T.StructType) and self.model is not None:
+            coerced = self._validate_nested(value, errors, sub_loc=None)
+        elif isinstance(dtype, T.MapType):
+            if not isinstance(value, dict):
+                errors.append((None, ColumnDTypeError("Input should be a valid dictionary")))
+        if errors:
+            return coerced, errors
+
+        # -- constraints (same semantics as the df-level compiler) --------------
+        def _rv(msg: str) -> None:
+            errors.append((None, RowValueError(msg)))
+
+        if self.allowed_values is not None and coerced not in self.allowed_values:
+            opts = [repr(v) for v in self.allowed_values]
+            joined = opts[0] if len(opts) == 1 else ", ".join(opts[:-1]) + " or " + opts[-1]
+            _rv(f"Input should be {joined}")
+        if self.const is not None and coerced != self.const:
+            _rv(f"Input should be {self.const!r}")
+        if self.ge is not None and not coerced >= self.ge:
+            _rv(f"Input should be greater than or equal to {self.ge}")
+        if self.gt is not None and not coerced > self.gt:
+            _rv(f"Input should be greater than {self.gt}")
+        if self.le is not None and not coerced <= self.le:
+            _rv(f"Input should be less than or equal to {self.le}")
+        if self.lt is not None and not coerced < self.lt:
+            _rv(f"Input should be less than {self.lt}")
+        if self.multiple_of is not None and coerced % self.multiple_of != 0:
+            _rv(f"Input should be a multiple of {self.multiple_of}")
+        if isinstance(coerced, str):
+            import re as _re
+
+            if self.pattern is not None and not _re.search(self.pattern, coerced):
+                _rv(f"String should match pattern '{self.pattern}'")
+            if self.min_length is not None and len(coerced) < self.min_length:
+                _rv(f"String should have at least {self.min_length} characters")
+            if self.max_length is not None and len(coerced) > self.max_length:
+                _rv(f"String should have at most {self.max_length} characters")
+        return coerced, errors
+
+    def _validate_nested(self, value: Any, errors: list, sub_loc: Optional[str]) -> Any:
+        """Construct (and thereby validate) a nested model value; sub-errors
+        are re-located under this field with dotted paths."""
+        from .errors import ColumnDTypeError, DataFrameValidationError
+
+        if isinstance(value, self.model):
+            return value
+        if not isinstance(value, dict):
+            errors.append((sub_loc, ColumnDTypeError(
+                f"Input should be a valid {self.model.__name__}"
+            )))
+            return value
+        try:
+            return self.model(**value)
+        except DataFrameValidationError as exc:
+            for wrapper in exc.raw_errors:
+                inner = ".".join(str(p) for p in wrapper.loc_tuple())
+                path = inner if sub_loc is None else f"{sub_loc}.{inner}"
+                errors.append((path, wrapper.exc))
+            return value
+
 
 def _json_safe(v: Any) -> Any:
     if isinstance(v, (dt.datetime, dt.date, dt.time)):
@@ -404,22 +546,39 @@ class Model(metaclass=ModelMetaclass):
     model_config: dict = {}
 
     def __init__(self, **values: Any) -> None:
+        """Construct AND validate an instance — full per-field type/bound/
+        enum checking, like the reference's pydantic-backed ``Model``
+        (bad values raise on construction; ``polars.py:846-850``).  All
+        field errors are collected into one ``DataFrameValidationError``.
+        Use ``_construct`` to skip validation (≈ ``model_construct``)."""
+        from .errors import DataFrameValidationError, ErrorWrapper, MissingValuesError
+
         specs = type(self).__column_specs__
         unknown = set(values) - set(specs)
         extra = type(self).model_config.get("extra")
         if unknown and extra != "allow":
             raise TypeError(f"Unknown fields: {sorted(unknown)}")
+        errors: list = []
         for field_name, spec in specs.items():
             if field_name in values:
-                setattr(self, field_name, values[field_name])
+                coerced, field_errors = spec.validate_value(values[field_name])
+                for sub_loc, exc in field_errors:
+                    loc = field_name if sub_loc is None else f"{field_name}.{sub_loc}"
+                    errors.append(ErrorWrapper(exc, loc))
+                setattr(self, field_name, coerced)
             elif not isinstance(spec.default, _Missing):
                 setattr(self, field_name, spec.default)
             elif spec.nullable:
                 setattr(self, field_name, None)
             else:
-                raise TypeError(f"Missing required field {field_name!r}")
+                errors.append(
+                    ErrorWrapper(MissingValuesError("Field required"), field_name)
+                )
+                setattr(self, field_name, None)
         for k in unknown:
             setattr(self, k, values[k])
+        if errors:
+            raise DataFrameValidationError(errors, type(self))
 
     def __eq__(self, other: Any) -> bool:
         if type(self) is not type(other):

@@ -22,14 +22,27 @@ def test_get_exactly_one(spark):
 
 def test_get_zero_rows(spark):
     df = Small.DataFrame(spark.createDataFrame([(1, "x")], "a long, b string"))
-    with pytest.raises(pt.RowDoesNotExist):
+    with pytest.raises(pt.RowDoesNotExist, match=r"get\(\) yielded 0 rows\."):
         df.get(pt.col("a") == 99)
 
 
 def test_get_multiple_rows(spark):
     df = Small.DataFrame(spark.createDataFrame([(1, "x"), (1, "y")], "a long, b string"))
-    with pytest.raises(pt.MultipleRowsReturned):
+    with pytest.raises(pt.MultipleRowsReturned, match=r"get\(\) yielded 2 rows\."):
         df.get(pt.col("a") == 1)
+
+
+def test_get_untyped_row(spark):
+    # no bound model → a dynamic UntypedRow model with attribute access
+    # (reference test_polars.py:38-41 / polars.py:855-873)
+    df = pt.DataFrame(
+        spark.createDataFrame([(1, 9.99), (2, 19.99)], "product_id long, price double")
+    )
+    untyped = df.get(pt.col("product_id") == 1)
+    assert untyped.price == 9.99
+    assert type(untyped).__name__ == "UntypedRow"
+    with pytest.raises(pt.MultipleRowsReturned, match=r"DataFrame\.get\(\) yielded 2 rows\."):
+        df.get(pt.col("product_id") < 3)
 
 
 # -- derive (≈ test_polars.py:353-484) -----------------------------------------
@@ -157,6 +170,30 @@ def test_fill_null_creates_missing_columns(spark):
     df = M.DataFrame(spark.createDataFrame([(1,)], "a int"))
     out = df.fill_null()
     assert out.collect()[0]["b"] == "filled"
+
+
+def test_fill_null_value_and_strategies(spark):
+    class M(pt.Model):
+        a: Optional[int]
+        b: Optional[float]
+
+    df = M.DataFrame(
+        spark.createDataFrame(
+            [(1, 1.0), (None, None), (3, 5.0)], "a int, b double"
+        )
+    )
+    assert sorted(r["a"] for r in df.fill_null(0).collect()) == [0, 1, 3]
+    assert sorted(r["a"] for r in df.fill_null(strategy="zero").collect()) == [0, 1, 3]
+    assert sorted(r["b"] for r in df.fill_null(strategy="one").collect()) == [1.0, 1.0, 5.0]
+    assert sorted(r["a"] for r in df.fill_null(strategy="min").collect()) == [1, 1, 3]
+    assert sorted(r["a"] for r in df.fill_null(strategy="max").collect()) == [1, 3, 3]
+    assert sorted(r["b"] for r in df.fill_null(strategy="mean").collect()) == [1.0, 3.0, 5.0]
+    # strategy="mean" keeps integer column dtype (documented cast)
+    assert dict(df.fill_null(strategy="mean").as_spark().dtypes)["a"] == "int"
+    with pytest.raises(ValueError, match="row order"):
+        df.fill_null(strategy="forward")
+    with pytest.raises(ValueError, match="Unknown fill_null strategy"):
+        df.fill_null(strategy="bogus")
 
 
 # -- drop / model preservation ----------------------------------------------------

@@ -197,6 +197,88 @@ def test_from_row(spark):
     assert Small.from_row(row) == Small(a=1, b="x")
 
 
+# -- per-instance value validation (reference constructs via pydantic, so bad
+# -- values raise on construction: polars.py:846-850) --------------------------
+
+
+class Product(pt.Model):
+    product_id: int = pt.Field(unique=True)
+    temperature_zone: Literal["dry", "cold", "frozen"]
+    demand: float = pt.Field(ge=0.0, le=1.0)
+    name: str = pt.Field(pattern=r"^[a-z]+$", min_length=2, max_length=6)
+
+
+def _errs(exc_info):
+    return {e["loc"][0]: e for e in exc_info.value.errors()}
+
+
+def test_instance_validation_ok_and_coercion():
+    p = Product(product_id=1, temperature_zone="dry", demand="0.5", name="apple")
+    assert p.demand == 0.5 and isinstance(p.demand, float)
+    q = Product(product_id=2.0, temperature_zone="cold", demand=1, name="pear")
+    assert q.product_id == 2 and isinstance(q.product_id, int)
+    assert isinstance(q.demand, float)
+
+
+def test_instance_validation_bounds_enum_pattern():
+    with pytest.raises(pt.DataFrameValidationError) as exc_info:
+        Product(product_id=1, temperature_zone="oven", demand=2.5, name="XY#")
+    errs = _errs(exc_info)
+    assert errs["temperature_zone"]["msg"] == "Input should be 'dry', 'cold' or 'frozen'"
+    assert errs["demand"]["msg"] == "Input should be less than or equal to 1.0"
+    assert errs["name"]["msg"] == "String should match pattern '^[a-z]+$'"
+    assert errs["demand"]["type"] == "value_error.rowvalue"
+
+
+def test_instance_validation_types():
+    with pytest.raises(pt.DataFrameValidationError) as exc_info:
+        Product(product_id=1.5, temperature_zone="dry", demand=None, name=7)
+    errs = _errs(exc_info)
+    assert "fractional part" in errs["product_id"]["msg"]
+    assert errs["demand"]["msg"] == "Input should not be None"
+    assert errs["name"]["msg"] == "Input should be a valid string"
+    # bool is never an int, pydantic-style
+    with pytest.raises(pt.DataFrameValidationError):
+        Product(product_id=True, temperature_zone="dry", demand=0.1, name="ok")
+
+
+def test_instance_validation_missing_field_collected():
+    with pytest.raises(pt.DataFrameValidationError) as exc_info:
+        Product(temperature_zone="dry", demand=0.1, name="ok")
+    assert _errs(exc_info)["product_id"]["msg"] == "Field required"
+
+
+def test_instance_validation_nested_struct():
+    class Inner(pt.Model):
+        x: int = pt.Field(ge=0)
+
+    class Outer(pt.Model):
+        inner: Inner
+
+    assert Outer(inner={"x": 3}).inner.x == 3
+    with pytest.raises(pt.DataFrameValidationError) as exc_info:
+        Outer(inner={"x": -1})
+    assert exc_info.value.errors()[0]["loc"] == ("inner.x",)
+
+
+def test_construct_skips_validation():
+    p = Product._construct(
+        {"product_id": 1, "temperature_zone": "oven", "demand": 9.0, "name": "X"}
+    )
+    assert p.demand == 9.0
+
+
+def test_from_row_validate_flag(spark):
+    df = spark.createDataFrame(
+        [(1, "dry", 5.0, "apple")],
+        "product_id long, temperature_zone string, demand double, name string",
+    )
+    row = df.collect()[0]
+    with pytest.raises(pt.DataFrameValidationError):
+        Product.from_row(row, validate=True)
+    assert Product.from_row(row, validate=False).demand == 5.0
+
+
 # -- examples → validate round-trip (reference test_model.py:569-573) ---------
 
 

@@ -325,6 +325,28 @@ def test_ivf_topk_recall(spark, embeddings):
     best = {r["probe_id"]: r for r in rows if r["rank"] == 1}
     for pid, r in best.items():
         assert r["neighbor_id"] == pid
+    # k-means centroids: recall vs brute force ≥ 0.9 at nprobe=4 of 8
+    truth = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in topk_brute_force(embeddings, probes, k=5).collect()
+    }
+    got = {(r["probe_id"], r["neighbor_id"]) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_ivf_kmeans_deterministic(spark, embeddings):
+    _, c1 = build_ivf_index(embeddings, n_centroids=8)
+    _, c2 = build_ivf_index(embeddings, n_centroids=8)
+    assert c1 == c2
+
+
+def test_ivf_first_strategy_uses_lowest_ids(spark, embeddings):
+    _, centroids = build_ivf_index(embeddings, n_centroids=4, strategy="first")
+    expected = [
+        list(r["embedding"])
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    assert [c[1] for c in centroids] == expected
 
 
 # -- multimodal ---------------------------------------------------------------------------------------
