@@ -947,6 +947,50 @@ UNION ALL SELECT partition, 'source', 'pattern', source_pattern, rows FROM agg
 """
 
 
+def q_text_parity(spark, sf_dir):
+    """North-rule invariant: extracted text byte-identical per key vs a
+    reference extraction.  Divergences are planted by construction (same
+    construction in the oracle): some rows perturbed, some dropped from
+    each side — the report must count every verdict class exactly."""
+    from patito_spark.plans.parity import text_parity_report
+
+    docs = _t(spark, sf_dir, "documents")
+    current = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 100 == 0, F.concat(F.col("text"), F.lit(" corrupted"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    reference = docs.filter(F.col("doc_id") % 89 != 0).select("doc_id", "text")
+    return text_parity_report(current, reference, "doc_id", "text")
+
+
+SQL_TEXT_PARITY = """
+WITH cur AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 = 0 THEN text || ' corrupted' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+), ref AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 0
+), a AS (
+  SELECT doc_id, CASE WHEN text IS NULL THEN '__null__' ELSE md5(text) END AS ha FROM cur
+), b AS (
+  SELECT doc_id, CASE WHEN text IS NULL THEN '__null__' ELSE md5(text) END AS hb FROM ref
+), j AS (
+  SELECT ha, hb, a.doc_id IS NOT NULL AS pa, b.doc_id IS NOT NULL AS pb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT CASE WHEN NOT pa THEN 'missing_in_current'
+            WHEN NOT pb THEN 'missing_in_reference'
+            WHEN ha = hb THEN 'identical'
+            ELSE 'different' END AS verdict,
+       count(*)::BIGINT AS n_rows
+FROM j GROUP BY 1
+"""
+
+
 def q_orders_join_revenue(spark, sf_dir):
     """Broadcast fact-dim join + aggregation (general join capability)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1024,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_partition_report": q_per_partition_report,
         "orders_join_revenue": q_orders_join_revenue,
         "customer_nation_join": q_customer_nation_join,
+        "text_parity": q_text_parity,
         "multimodal_byte_hist": q_multimodal_byte_hist,
         "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
@@ -1060,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "per_partition_report": SQL_PER_PARTITION_REPORT,
         "orders_join_revenue": SQL_ORDERS_JOIN_REVENUE,
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
+        "text_parity": SQL_TEXT_PARITY,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
         "embedding_near_dups": _sql_embedding_near_dups(),
         "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,

@@ -1,5 +1,21 @@
 """Model-aware readers/writers."""
 
-from .io import read_csv, read_parquet, read_table, scan_for, write_report
+from .io import (
+    iceberg_catalog_conf,
+    read_csv,
+    read_parquet,
+    read_table,
+    scan_for,
+    write_report,
+    write_report_table,
+)
 
-__all__ = ["read_csv", "read_parquet", "read_table", "scan_for", "write_report"]
+__all__ = [
+    "iceberg_catalog_conf",
+    "read_csv",
+    "read_parquet",
+    "read_table",
+    "scan_for",
+    "write_report",
+    "write_report_table",
+]

@@ -76,6 +76,26 @@ def test_runner_where_scoping(spark, tmp_path):
     assert sorted(v["partition"] for v in result.verdicts) == ["0", "1"]
 
 
+def test_write_report_table_create_then_append(spark):
+    from patito_spark.sources import read_table, write_report_table
+
+    table = "patito_test_report"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        df = spark.createDataFrame(
+            [("en", "lang", 3), ("de", "lang", 0)],
+            "partition string, `column` string, violations int",
+        )
+        write_report_table(df, table, partition_by=["partition"])
+        assert read_table(spark, table).count() == 2
+        write_report_table(df, table)  # second write appends, not replaces
+        assert read_table(spark, table).count() == 4
+        parts = spark.sql(f"SHOW PARTITIONS {table}").count()
+        assert parts == 2  # partitionedBy landed in the table definition
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_read_csv_alias_generator(spark, tmp_path):
     def lower(name: str) -> str:
         return name.lower()

@@ -168,6 +168,32 @@ def test_runner_resume_null_partition(spark, tmp_path):
     assert len(r3.verdicts) == 0
 
 
+def test_text_parity_verdicts(spark):
+    from patito_spark.plans.parity import (
+        text_parity_report,
+        text_parity_violations,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (4, "w")], "k long, t string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "z"), (3, None), (5, "v")], "k long, t string"
+    )
+    rows = {
+        r["verdict"]: r["n_rows"]
+        for r in text_parity_report(a, b, "k", "t").collect()
+    }
+    assert rows == {
+        "identical": 2,  # 1 matches; 3 matches (NULL == NULL by sentinel)
+        "different": 1,
+        "missing_in_reference": 1,
+        "missing_in_current": 1,
+    }
+    bad = text_parity_violations(a, b, "k", "t").collect()
+    assert [r["k"] for r in bad] == [2, 4, 5]
+
+
 def test_runner_attributes_cross_partition_duplicates(spark, tmp_path):
     class M(pt.Model):
         p: int
