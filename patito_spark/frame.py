@@ -402,6 +402,36 @@ class DataFrame:
 
         return ModelGenerator(_generate())
 
+    # -- read_csv (≈ polars.py:880-960 classmethod) --------------------------------------
+    @classmethod
+    def read_csv(
+        cls, path: str, has_header: bool = True, derive: bool = True, **options
+    ) -> "DataFrame":
+        """Model-schema CSV scan, as a classmethod on the model's frame
+        (reference ``DataFrame.read_csv``, ``polars.py:880-960``): column
+        names/types come from the model (headerless files take the model's
+        column order), ``derived_from`` columns are populated on read.
+
+        Divergence: Spark scans distributed paths, not in-memory buffers —
+        *path* must be a file/directory/glob, and the session is the active
+        SparkSession.
+        """
+        if cls.model is None:
+            raise TypeError(
+                "read_csv requires a model-bound frame; use "
+                "Model.DataFrame.read_csv(...)"
+            )
+        from pyspark.sql import SparkSession
+
+        from .sources.io import read_csv as _read_csv
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover - tests always have a session
+            spark = SparkSession.builder.getOrCreate()
+        return _read_csv(
+            spark, path, cls.model, header=has_header, derive=derive, **options
+        )
+
     # -- actions ------------------------------------------------------------------------
     def collect(self) -> list:
         return self._df.collect()

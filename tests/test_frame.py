@@ -196,6 +196,23 @@ def test_fill_null_value_and_strategies(spark):
         df.fill_null(strategy="bogus")
 
 
+def test_read_csv_classmethod(spark, tmp_path):
+    # ≈ reference test: headerless CSV takes model column order and types,
+    # derived_from populated on read (polars.py:880-960)
+    class CSVModel(pt.Model):
+        a: float
+        b: str
+        a_doubled: float = pt.Field(derived_from=2 * pt.col("a"))
+
+    p = str(tmp_path / "data.csv")
+    with open(p, "w") as fh:
+        fh.write("1,x\n2,y\n")
+    out = CSVModel.DataFrame.read_csv(p, has_header=False)
+    rows = sorted((r.asDict() for r in out.collect()), key=lambda r: r["a"])
+    assert rows[0] == {"a": 1.0, "b": "x", "a_doubled": 2.0}
+    assert out.model is CSVModel
+
+
 # -- drop / model preservation ----------------------------------------------------
 
 

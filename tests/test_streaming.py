@@ -90,6 +90,47 @@ def test_validate_stream_quarantine(spark, tmp_path):
     assert bad.agg(F.min("value")).collect()[0][0] == 101  # first out-of-bound
 
 
+def test_quarantine_exactly_once_across_restart(spark, tmp_path):
+    """Stop the quarantine sink mid-stream and restart it with the same
+    checkpoint: already-quarantined rows must not be re-emitted and new bad
+    rows must be picked up — the checkpoint carries the source offsets."""
+    src = str(tmp_path / "src")
+    qdir = str(tmp_path / "bad")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1)
+    schema = "ts timestamp, value int, kind string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return validate_stream(
+            stream, Event, quarantine_path=qdir, checkpoint_dir=ckpt
+        )
+
+    feed([(base, 5, "a"), (base, 150, "a"), (base, 7, "x")])  # 2 bad
+    _, _, query = start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert spark.read.parquet(qdir).count() == 2
+
+    feed([(base, 8, "b"), (base, 999, "b")])  # 1 more bad
+    _, _, query = start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    bad = spark.read.parquet(qdir)
+    # exactly once: 3 distinct bad rows, none duplicated by the restart
+    assert bad.count() == 3
+    assert sorted(r["value"] for r in bad.collect()) == [7, 150, 999]
+
+
 def test_dedup_within_watermark_plan(spark):
     # streaming-only operator: assert the plan builds on a real stream
     stream = (
