@@ -112,21 +112,42 @@ class ValidationRunner:
         model: type,
         partition_col,
         checkpoint_dir: Optional[str] = None,
+        checkpoint_table: Optional[str] = None,
     ) -> None:
         self.model = model
         if isinstance(partition_col, tuple):
             self.partition_name, self.partition_expr = partition_col
         else:
             self.partition_name, self.partition_expr = partition_col, None
+        if checkpoint_dir and checkpoint_table:
+            raise ValueError(
+                "pass checkpoint_dir (parquet path) OR checkpoint_table "
+                "(catalog table), not both"
+            )
         self.checkpoint_dir = checkpoint_dir
+        #: catalog checkpoint (the north rule persists verdicts + lineage to
+        #: a checkpoint TABLE): verdicts land in <name>_verdicts and
+        #: violations in <name>_violations via the V2 writer — real Iceberg
+        #: snapshot commits under an Iceberg catalog
+        self.checkpoint_table = checkpoint_table
 
     # -- checkpoint I/O --------------------------------------------------------
+    def _read_verdicts(self, spark: SparkSession) -> Optional[DataFrame]:
+        if self.checkpoint_table:
+            name = f"{self.checkpoint_table}_verdicts"
+            if not spark.catalog.tableExists(name):
+                return None
+            return spark.table(name)
+        if self.checkpoint_dir:
+            try:
+                return spark.read.parquet(f"{self.checkpoint_dir}/verdicts")
+            except Exception:
+                return None
+        return None
+
     def _finished_partitions(self, spark: SparkSession) -> set:
-        if not self.checkpoint_dir:
-            return set()
-        try:
-            verdicts = spark.read.parquet(f"{self.checkpoint_dir}/verdicts")
-        except Exception:
+        verdicts = self._read_verdicts(spark)
+        if verdicts is None:
             return set()
         return {
             r["partition"]
@@ -136,6 +157,20 @@ class ValidationRunner:
     def _persist(
         self, spark: SparkSession, verdicts: list, violations: list
     ) -> None:
+        if self.checkpoint_table:
+            from ..sources.io import write_report_table
+
+            if verdicts:
+                write_report_table(
+                    spark.createDataFrame(verdicts, VERDICT_SCHEMA).coalesce(1),
+                    f"{self.checkpoint_table}_verdicts",
+                )
+            if violations:
+                write_report_table(
+                    spark.createDataFrame(violations, VIOLATION_SCHEMA).coalesce(1),
+                    f"{self.checkpoint_table}_violations",
+                )
+            return
         if not self.checkpoint_dir:
             return
         if verdicts:
@@ -295,10 +330,14 @@ class ValidationRunner:
         return RunResult(run_id, verdicts, violations, skipped)
 
     def report(self, spark: SparkSession) -> DataFrame:
-        """The persisted violations table for this checkpoint dir."""
+        """The persisted violations table for this checkpoint."""
+        if self.checkpoint_table:
+            return spark.table(f"{self.checkpoint_table}_violations")
         return spark.read.parquet(f"{self.checkpoint_dir}/violations")
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
+        if self.checkpoint_table:
+            return spark.table(f"{self.checkpoint_table}_verdicts")
         return spark.read.parquet(f"{self.checkpoint_dir}/verdicts")
 
 

@@ -168,6 +168,40 @@ def test_runner_resume_null_partition(spark, tmp_path):
     assert len(r3.verdicts) == 0
 
 
+def test_runner_checkpoint_table_resume(spark):
+    """Catalog-table checkpointing (the north rule's 'checkpoint table'):
+    verdicts/violations land in catalog tables and resume reads them."""
+
+    class M(pt.Model):
+        k: int
+        v: int = pt.Field(ge=0)
+
+    table = "patito_test_ckpt"
+    for suffix in ("_verdicts", "_violations"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    try:
+        df = spark.range(40).select(
+            (F.col("id") % 4).alias("k"), (F.col("id") - 2).alias("v")
+        )
+        half = df.filter(F.col("k") < 2)
+        r1 = ValidationRunner(M, "k", checkpoint_table=table).run(half)
+        assert len(r1.verdicts) == 2
+        runner2 = ValidationRunner(M, "k", checkpoint_table=table)
+        r2 = runner2.run(df)
+        assert sorted(v["partition"] for v in r2.verdicts) == ["2", "3"]
+        assert r2.skipped_partitions == ["0", "1"]
+        assert runner2.verdicts(spark).count() == 4
+        assert runner2.report(spark).filter(
+            F.col("column") == "v"
+        ).count() > 0  # v = -2, -1 violate ge=0
+    finally:
+        for suffix in ("_verdicts", "_violations"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+    with pytest.raises(ValueError, match="not both"):
+        ValidationRunner(M, "k", checkpoint_dir="/tmp/x", checkpoint_table="y")
+
+
 def test_text_parity_verdicts(spark):
     from patito_spark.plans.parity import (
         text_parity_report,
