@@ -947,6 +947,62 @@ UNION ALL SELECT partition, 'source', 'pattern', source_pattern, rows FROM agg
 """
 
 
+def q_url_domains(spark, sf_dir):
+    """URL parsing (scheme/host/path/registrable domain) over URLs built
+    deterministically from doc_id — same construction in the oracle, so the
+    parse heuristics are hash-checked cross-engine.  Includes authority-less
+    URLs to pin the no-match ('' not NULL) semantics."""
+    from patito_spark.functions.urls import (
+        registrable_domain,
+        url_host,
+        url_path,
+        url_scheme,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 31 == 0, F.lit("relative/path/only")
+    ).otherwise(
+        F.concat(
+            F.lit("https://sub.domain"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q=1"),
+        )
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        url_scheme(F.col("url")).alias("scheme"),
+        url_host(F.col("url")).alias("host"),
+        url_path(F.col("url")).alias("path"),
+        registrable_domain(F.col("url")).alias("domain"),
+    )
+
+
+SQL_URL_DOMAINS = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN 'relative/path/only'
+              ELSE 'https://sub.domain' || (doc_id % 20) || '.com/p/' || doc_id || '?q=1'
+         END AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
+         lower(regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^?#]*)', 1) AS path
+  FROM u
+)
+SELECT doc_id, scheme, host, path,
+       CASE WHEN len(string_split(host, '.')) >= 2
+            THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+            ELSE host END AS domain
+FROM parsed
+"""
+
+
 def q_text_parity(spark, sf_dir):
     """North-rule invariant: extracted text byte-identical per key vs a
     reference extraction.  Divergences are planted by construction (same
@@ -1069,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_join_revenue": q_orders_join_revenue,
         "customer_nation_join": q_customer_nation_join,
         "text_parity": q_text_parity,
+        "url_domains": q_url_domains,
         "multimodal_byte_hist": q_multimodal_byte_hist,
         "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
@@ -1106,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_revenue": SQL_ORDERS_JOIN_REVENUE,
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
         "text_parity": SQL_TEXT_PARITY,
+        "url_domains": SQL_URL_DOMAINS,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
         "embedding_near_dups": _sql_embedding_near_dups(),
         "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,

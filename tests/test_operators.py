@@ -349,6 +349,53 @@ def test_ivf_first_strategy_uses_lowest_ids(spark, embeddings):
     assert [c[1] for c in centroids] == expected
 
 
+# -- url functions -----------------------------------------------------------------------------------
+
+
+def test_url_parsing(spark):
+    from patito_spark.functions.urls import (
+        domain_counts,
+        registrable_domain,
+        url_host,
+        url_path,
+        url_scheme,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Sub.News.Example.com:8080/a/b?q=1#frag"),
+            (2, "http://example.com"),
+            (3, "//cdn.example.org/x.js"),
+            (4, "relative/path/only"),
+            (5, "ftp://files.example.net/pub/"),
+        ],
+        "id long, url string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            url_scheme(F.col("url")).alias("scheme"),
+            url_host(F.col("url")).alias("host"),
+            url_path(F.col("url")).alias("path"),
+            registrable_domain(F.col("url")).alias("domain"),
+        ).collect()
+    }
+    assert rows[1]["scheme"] == "https"
+    assert rows[1]["host"] == "sub.news.example.com"
+    assert rows[1]["path"] == "/a/b"
+    assert rows[1]["domain"] == "example.com"
+    assert rows[2]["path"] == ""
+    assert rows[3]["scheme"] == "" and rows[3]["host"] == "cdn.example.org"
+    assert rows[4]["host"] == "" and rows[4]["domain"] == ""
+    assert rows[5]["domain"] == "example.net"
+
+    hot = domain_counts(
+        df.filter(F.col("id") != 4), "url"
+    ).collect()
+    assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
+
+
 # -- multimodal ---------------------------------------------------------------------------------------
 
 
