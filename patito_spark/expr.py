@@ -163,6 +163,29 @@ class Expr:
     def rlike(self, pattern: str) -> "Expr":
         return Expr("rlike", self, pattern)
 
+    def str_starts_with(self, prefix: str) -> "Expr":
+        return Expr("starts_with", self, prefix)
+
+    def str_ends_with(self, suffix: str) -> "Expr":
+        return Expr("ends_with", self, suffix)
+
+    def str_contains(self, pattern: str, literal: bool = False) -> "Expr":
+        """Substring / regex containment (regex by default, like polars
+        ``str.contains``; ``literal=True`` for plain substring match)."""
+        return Expr("contains", self, pattern, literal)
+
+    def str_to_lowercase(self) -> "Expr":
+        return Expr("lower", self)
+
+    def str_to_uppercase(self) -> "Expr":
+        return Expr("upper", self)
+
+    def str_strip_chars(self) -> "Expr":
+        return Expr("trim", self)
+
+    def fill_null(self, value: Any) -> "Expr":
+        return Expr("fill_null", self, value)
+
     def str_len_chars(self) -> "Expr":
         return Expr("char_length", self)
 
@@ -357,6 +380,20 @@ def _compile(e: Expr, F):
         return child.isin(*e.args[1])
     if op == "rlike":
         return child.rlike(e.args[1])
+    if op == "starts_with":
+        return child.startswith(e.args[1])
+    if op == "ends_with":
+        return child.endswith(e.args[1])
+    if op == "contains":
+        return child.contains(e.args[1]) if e.args[2] else child.rlike(e.args[1])
+    if op == "lower":
+        return F.lower(child)
+    if op == "upper":
+        return F.upper(child)
+    if op == "trim":
+        return F.trim(child)
+    if op == "fill_null":
+        return F.coalesce(child, F.lit(e.args[1]))
     if op == "char_length":
         return F.char_length(child)
     if op == "abs":

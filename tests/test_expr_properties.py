@@ -30,11 +30,21 @@ def _exprs(depth: int = 3) -> st.SearchStrategy:
         sub,
     ).map(lambda t: Expr(t[0], t[1], t[2]))
     unary = st.tuples(
-        st.sampled_from(["not", "neg", "is_null", "abs", "sum", "mean", "min", "max", "count"]),
+        st.sampled_from(["not", "neg", "is_null", "abs", "sum", "mean", "min",
+                         "max", "count", "lower", "upper", "trim"]),
         sub,
     ).map(lambda t: Expr(t[0], t[1]))
-    methods = st.tuples(sub, st.sampled_from(["p1", "p2"])).map(
-        lambda t: t[0].rlike(t[1])
+    methods = st.one_of(
+        st.tuples(sub, st.sampled_from(["p1", "p2"])).map(
+            lambda t: t[0].rlike(t[1])
+        ),
+        st.tuples(sub, st.sampled_from(["p", "q"])).map(
+            lambda t: t[0].str_starts_with(t[1])
+        ),
+        st.tuples(sub, st.sampled_from(["p", "q"]), st.booleans()).map(
+            lambda t: t[0].str_contains(t[1], literal=t[2])
+        ),
+        st.tuples(sub, _scalars).map(lambda t: t[0].fill_null(t[1])),
     )
     return st.one_of(leaf, binop, unary, methods)
 

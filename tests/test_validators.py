@@ -371,6 +371,39 @@ def test_pattern_is_search_not_anchored(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_string_expr_constraints(spark):
+    # polars-style string expression methods inside custom constraints
+    class M(pt.Model):
+        source: str = pt.Field(
+            constraints=pt.field.str_to_lowercase().str_starts_with("src")
+        )
+        tag: str = pt.Field(
+            constraints=pt.field.str_contains("x", literal=True)
+            | pt.field.str_ends_with("!")
+        )
+
+    ok = spark.createDataFrame(
+        [("SRC1", "axb"), ("src2", "done!")], "source string, tag string"
+    )
+    M.validate(ok)
+
+    bad = spark.createDataFrame(
+        [("other", "axb"), ("src2", "plain")], "source string, tag string"
+    )
+    with pytest.raises(pt.DataFrameValidationError) as e:
+        M.validate(bad)
+    errors = sorted(_errs(e), key=lambda d: d["loc"])
+    assert [d["loc"] for d in errors] == [("source",), ("tag",)]
+    assert all(
+        d["msg"] == "1 row does not match custom constraints." for d in errors
+    )
+    # the new ops survive the spec's JSON serialization boundary
+    spec = M.specs["source"].constraints[0]
+    from patito_spark.expr import Expr
+
+    assert Expr.deserialize(spec.serialize()).serialize() == spec.serialize()
+
+
 def test_even_odd_constraints(spark):
     class M(pt.Model):
         even_int: int = pt.Field(constraints=pt.col("even_int") % 2 == 0)
