@@ -947,6 +947,107 @@ UNION ALL SELECT partition, 'source', 'pattern', source_pattern, rows FROM agg
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The standard cleaning pipeline (lang filter → length bounds →
+    quality threshold → exact dedup) reduced to a one-row stats check."""
+    from patito_spark.operators.pipeline import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = clean_corpus(
+        docs,
+        "doc_id",
+        "text",
+        lang_col="lang",
+        allowed_langs=["en", "de", "fr"],
+        min_chars=80,
+        max_chars=450,
+        min_quality=0.5,
+    )
+    return cleaned.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+SQL_CLEAN_CORPUS = """
+WITH q AS (
+  SELECT doc_id, text, lang, n_chars,
+         length(text) AS len,
+         list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'), x -> x <> '') AS w,
+         length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS alpha_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, text, lang, n_chars, len, alpha_chars,
+         len(w) AS n_words,
+         len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS stop_hits
+  FROM q
+), scored AS (
+  SELECT doc_id, text, lang, n_chars, len,
+         round(
+           0.3 * (CASE WHEN len BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (CASE WHEN len > 0 THEN alpha_chars / CAST(len AS DOUBLE) ELSE 0.0 END)
+         + 0.2 * least((CASE WHEN n_words > 0 THEN stop_hits / CAST(n_words AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         + 0.2 * (CASE WHEN n_words > 0
+                       AND (len - n_words + 1) / CAST(n_words AS DOUBLE) BETWEEN 2.0 AND 12.0
+                       THEN 1.0 ELSE 0.0 END)
+         , 6) AS quality
+  FROM m
+), filtered AS (
+  SELECT doc_id, text, n_chars FROM scored
+  WHERE lang IN ('en', 'de', 'fr')
+    AND len >= 80 AND len <= 450 AND quality >= 0.5
+), keyed AS (
+  SELECT doc_id, n_chars, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM filtered
+)
+SELECT count(*)::BIGINT AS rows_kept, sum(n_chars)::BIGINT AS sum_chars
+FROM keyed WHERE rn = 1
+"""
+
+
+def q_chi2_drift_by_lang(spark, sf_dir):
+    """Per-language chi-square drift of n_chars vs the global distribution
+    over a fixed [0, 500) 10-bucket histogram — the relational (three tiny
+    shuffles, no driver merge) drift check."""
+    from patito_spark.plans.stats import chi_square_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_by_group(docs, "lang", "n_chars", 0.0, 500.0, 10).select(
+        "lang", F.round("chi2", 4).alias("chi2"), "buckets", "n"
+    )
+
+
+SQL_CHI2_DRIFT = """
+WITH base AS (
+  SELECT lang AS g,
+         least(greatest(CAST(floor((n_chars - 0.0) / 50.0) AS INTEGER), 0), 9) AS b
+  FROM documents WHERE n_chars IS NOT NULL
+), per AS (
+  SELECT g, b, count(*)::BIGINT AS o FROM base GROUP BY g, b
+), gcounts AS (
+  SELECT b, count(*)::BIGINT AS gl FROM base GROUP BY b
+), totals AS (
+  SELECT g, count(*)::BIGINT AS n FROM base GROUP BY g
+), tot AS (SELECT count(*)::BIGINT AS nt FROM base),
+grid AS (
+  SELECT t.g, t.n, gb.b, gb.gl FROM totals t CROSS JOIN gcounts gb
+), joined AS (
+  SELECT gr.g, gr.n, gr.gl, COALESCE(p.o, 0)::BIGINT AS o
+  FROM grid gr LEFT JOIN per p ON gr.g = p.g AND gr.b = p.b
+)
+SELECT g AS lang,
+       round(sum((o - gl * n / CAST(nt AS DOUBLE))
+               * (o - gl * n / CAST(nt AS DOUBLE))
+               / (gl * n / CAST(nt AS DOUBLE))), 4) AS chi2,
+       count(*)::BIGINT AS buckets,
+       min(n)::BIGINT AS n
+FROM joined, tot
+GROUP BY g
+"""
+
+
 def q_url_domains(spark, sf_dir):
     """URL parsing (scheme/host/path/registrable domain) over URLs built
     deterministically from doc_id — same construction in the oracle, so the
@@ -1126,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_nation_join": q_customer_nation_join,
         "text_parity": q_text_parity,
         "url_domains": q_url_domains,
+        "clean_corpus": q_clean_corpus,
+        "chi2_drift_by_lang": q_chi2_drift_by_lang,
         "multimodal_byte_hist": q_multimodal_byte_hist,
         "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
@@ -1164,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
         "text_parity": SQL_TEXT_PARITY,
         "url_domains": SQL_URL_DOMAINS,
+        "clean_corpus": SQL_CLEAN_CORPUS,
+        "chi2_drift_by_lang": SQL_CHI2_DRIFT,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
         "embedding_near_dups": _sql_embedding_near_dups(),
         "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,

@@ -184,6 +184,61 @@ def ks_exact_vs_cdf(
     )
 
 
+def chi_square_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 10,
+) -> DataFrame:
+    """Per-group chi-square drift statistic vs the GLOBAL distribution of
+    *value_col*, over a fixed ``[lo, hi)`` equi-width bucketing.
+
+    Relational formulation — three shuffles of tiny aggregates, never a
+    driver-side histogram merge: per-(group, bucket) counts, global
+    per-bucket counts, per-group totals; expected_b = global_b × n_g / N;
+    the statistic sums ``(o-e)²/e`` over every bucket the global
+    distribution occupies (a group missing a bucket still pays its
+    expected mass).  Everything derives from integer counts, so the
+    result is reproducible cross-engine bit-for-bit at fixed rounding.
+    """
+    bucket = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(value_col) - F.lit(lo)) / ((hi - lo) / nbuckets)
+                ),
+                F.lit(0),
+            ),
+            F.lit(nbuckets - 1),
+        ).cast("int"),
+    )
+    base = df.select(F.col(group_col).alias("_g"), bucket.alias("_b")).filter(
+        F.col("_b").isNotNull()
+    )
+    per = base.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_gl"))
+    totals = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    n_total = base.count()
+    # every (group, occupied bucket) combination, with o=0 where absent
+    grid = totals.crossJoin(glob)
+    joined = grid.join(per, ["_g", "_b"], "left").select(
+        "_g",
+        "_n",
+        F.col("_gl"),
+        F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+    )
+    e = F.col("_gl") * F.col("_n") / F.lit(n_total)
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    return joined.groupBy("_g").agg(
+        F.sum(term).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("buckets"),
+        F.min("_n").cast("long").alias("n"),
+    ).select(F.col("_g").alias(group_col), "chi2", "buckets", "n")
+
+
 def ks_from_sketches(q_a: Sequence[float], q_b: Sequence[float]) -> float:
     """Approximate two-sample Kolmogorov–Smirnov statistic from two
     equi-spaced quantile sketches (driver-side, O(len) merge).

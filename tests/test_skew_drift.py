@@ -100,3 +100,52 @@ def test_drift_monitor_null_rate(spark, tmp_path):
     )
     verdict = monitor.check(with_nulls, ["x"])[0]
     assert verdict["null_rate_delta"] == pytest.approx(0.25, abs=0.01)
+
+
+def test_chi_square_by_group_detects_shift(spark):
+    from patito_spark.plans.stats import chi_square_by_group
+
+    # a large group matching the global shape → small chi2;
+    # a group concentrated in the top buckets → clearly larger
+    same = spark.range(2000).select(
+        F.lit("base").alias("g"), (F.col("id") % 100).alias("x")
+    )
+    shifted = spark.range(500).select(
+        F.lit("hot").alias("g"), (F.col("id") % 20 + 80).alias("x")
+    )
+    df = same.unionByName(shifted)
+    rows = {
+        r["g"]: r
+        for r in chi_square_by_group(df, "g", "x", 0.0, 100.0, 10).collect()
+    }
+    # both groups deviate from the POOLED global (the hot group is part of
+    # it), but the shifted group must stand out clearly
+    assert rows["hot"]["chi2"] > rows["base"]["chi2"] * 2
+    assert rows["base"]["buckets"] == 10
+    assert rows["hot"]["n"] == 500
+
+
+def test_clean_corpus_stages(spark):
+    from patito_spark.operators.pipeline import clean_corpus, clean_corpus_stats
+
+    good = "the quick brown fox and the lazy dog is of great renown " * 3
+    df = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good, "en"),          # exact dup of 1 → dropped
+            (3, good, "zz"),          # bad lang
+            (4, "short text", "en"),  # below min_chars
+            (5, None, "en"),          # null text never survives
+            (6, good + "unique tail words", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cleaned = clean_corpus(
+        df, "doc_id", "text",
+        lang_col="lang", allowed_langs=["en", "de"],
+        min_chars=50, max_chars=10_000, min_quality=0.3,
+    )
+    kept = sorted(r["doc_id"] for r in cleaned.collect())
+    assert kept == [1, 6]  # lowest id wins the dup group
+    stats = clean_corpus_stats(cleaned, df).collect()[0]
+    assert stats["rows_in"] == 6 and stats["rows_kept"] == 2
