@@ -254,6 +254,15 @@ def run_headline() -> tuple:
     # would otherwise spend minutes synthesizing it single-threadedly
     if os.environ.get("PATITO_BENCH_SKIP_SCALING") != "1":
         _ensure_pages(spark, SCALE_N, PAGES_PATH)
+    # neutral JIT/codegen warmup — touches NO input data (a synthetic md5
+    # aggregation), so the first query's timing measures the engine rather
+    # than JVM startup (~3.5 s measured); protocol documented in
+    # BENCH/BASELINE.md
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(
+        F.md5(F.col("id").cast("string")).alias("h")
+    ).agg(F.count(F.lit(1))).collect()
     qs = entrymod.queries()
     timings = {}
     for name in HEADLINE:
