@@ -60,8 +60,17 @@ VERDICT_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType()),
         T.StructField("finished_at", T.DoubleType()),
         T.StructField("elapsed_sec", T.DoubleType()),
+        # per-partition lineage: the source files this partition's rows came
+        # from (capped sample; '' for non-file sources) — the north rule
+        # persists lineage next to the verdicts so an interrupted run can be
+        # traced back to its inputs
+        T.StructField("input_files", T.ArrayType(T.StringType())),
     ]
 )
+
+#: lineage cap — at web scale one partition can span thousands of files;
+#: the verdict row keeps a bounded sorted sample
+_LINEAGE_FILE_CAP = 64
 
 VIOLATION_SCHEMA = T.StructType(
     [
@@ -267,23 +276,40 @@ class ValidationRunner:
         violations: list = list(schema_violations)
         per_partition_errors: dict = {}
         rows_per_partition: dict = {}
+        # lineage rides the same aggregation: a capped, sorted sample of the
+        # source files behind each partition ('' = non-file source, dropped).
+        # input_file_name() is nondeterministic, so it must be projected as
+        # a column BEFORE the aggregate (Spark rejects it inside one).
+        lineage_df = df.withColumn("_src_file", F.input_file_name())
+        lineage_term = F.slice(
+            F.sort_array(F.array_remove(F.collect_set("_src_file"), "")),
+            1,
+            _LINEAGE_FILE_CAP,
+        ).alias("_files")
+        files_per_partition: dict = {}
         if ctx.terms:
             agg_rows = (
-                df.groupBy(part.alias("_partition"))
-                .agg(F.count(F.lit(1)).alias("_rows"), *ctx.terms.values())
+                lineage_df.groupBy(part.alias("_partition"))
+                .agg(F.count(F.lit(1)).alias("_rows"), lineage_term, *ctx.terms.values())
                 .collect()
             )
             for row in agg_rows:
                 d = row.asDict()
                 p = d["_partition"]
                 rows_per_partition[p] = d["_rows"]
+                files_per_partition[p] = list(d["_files"] or [])
                 errs: list = []
                 for handler in ctx.handlers:
                     handler(d, errs)
                 per_partition_errors[p] = errs
         else:
-            for row in df.groupBy(part.alias("_partition")).count().collect():
+            for row in (
+                lineage_df.groupBy(part.alias("_partition"))
+                .agg(F.count(F.lit(1)).alias("count"), lineage_term)
+                .collect()
+            ):
                 rows_per_partition[row["_partition"]] = row["count"]
+                files_per_partition[row["_partition"]] = list(row["_files"] or [])
                 per_partition_errors[row["_partition"]] = []
 
         # Job 2: uniqueness with per-partition attribution — each partition
@@ -321,6 +347,7 @@ class ValidationRunner:
                     "run_id": run_id,
                     "finished_at": finished_at,
                     "elapsed_sec": finished_at - t0,
+                    "input_files": files_per_partition.get(p, []),
                 }
             )
 

@@ -202,6 +202,26 @@ def test_runner_checkpoint_table_resume(spark):
         ValidationRunner(M, "k", checkpoint_dir="/tmp/x", checkpoint_table="y")
 
 
+def test_runner_records_file_lineage(spark, tmp_path):
+    class M(pt.Model):
+        k: int
+        v: int = pt.Field(ge=0)
+
+    src = str(tmp_path / "src")
+    spark.range(20).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    ).repartition(2).write.parquet(src)
+    result = ValidationRunner(M, "k").run(spark.read.parquet(src))
+    for v in result.verdicts:
+        assert v["input_files"], "file-backed partitions must carry lineage"
+        assert all(src.lstrip("/") in f for f in v["input_files"])
+    # non-file sources carry empty lineage, not ''
+    mem = ValidationRunner(M, "k").run(
+        spark.createDataFrame([(0, 1), (1, 2)], "k int, v int")
+    )
+    assert all(v["input_files"] == [] for v in mem.verdicts)
+
+
 def test_text_parity_verdicts(spark):
     from patito_spark.plans.parity import (
         text_parity_report,
