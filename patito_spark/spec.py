@@ -854,7 +854,19 @@ def model_from_spec_json(payload: str) -> type:
     import datetime as _dt
     import json as _json
 
-    data = _json.loads(payload)
+    try:
+        data = _json.loads(payload)
+    except _json.JSONDecodeError as exc:
+        raise ValueError(
+            f"model_from_spec_json expects the JSON produced by "
+            f"Model.spec_json(); got invalid JSON: {exc}"
+        ) from exc
+    if not isinstance(data, dict) or "columns" not in data:
+        raise ValueError(
+            "model_from_spec_json expects the JSON produced by "
+            "Model.spec_json() (an object with a 'columns' list); got "
+            f"{type(data).__name__}"
+        )
     fields: dict[str, tuple] = {}
     for col_spec in data["columns"]:
         dtype = T._parse_datatype_json_string(col_spec["dtype"])  # type: ignore[attr-defined]
