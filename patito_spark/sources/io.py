@@ -143,6 +143,31 @@ def write_report_table(
     writer.create()
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: Optional[str] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (hash-clustered) by *bucket_col*.
+
+    Bucketing is the pre-shuffle investment for repeated joins/aggregations
+    on the same key: two tables bucketed by the join key with the same
+    bucket count join with ZERO exchanges (verified in
+    tests/test_parity_extras.py), and groupBy on the bucket key skips its
+    shuffle too.  Under an Iceberg catalog use a bucket partition transform
+    instead; for the built-in catalog this maps to Spark's native bucketed
+    managed tables (bucketBy requires saveAsTable).
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def iceberg_catalog_conf(catalog: str, warehouse: str) -> dict:
     """SparkSession config for a Hadoop-warehouse Iceberg catalog.
 

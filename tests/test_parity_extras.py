@@ -96,6 +96,39 @@ def test_write_report_table_create_then_append(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.sources import read_table
+    from patito_spark.sources.io import write_bucketed_table
+
+    a, b = "patito_test_bkt_a", "patito_test_bkt_b"
+    try:
+        facts = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        dims = spark.range(100).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+        )
+        write_bucketed_table(facts, a, "k", n_buckets=8, sort_col="k")
+        write_bucketed_table(dims, b, "k", n_buckets=8)
+        # co-located join: both sides pre-clustered on k with equal bucket
+        # counts → no Exchange in the plan (and disable broadcast so the
+        # test proves bucketing, not broadcasting)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, a).join(read_table(spark, b), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:1500]
+            assert joined.count() == 100
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in (a, b):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_read_csv_alias_generator(spark, tmp_path):
     def lower(name: str) -> str:
         return name.lower()
