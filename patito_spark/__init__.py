@@ -20,6 +20,7 @@ Public surface mirrors patito's::
     Product.examples({"product_id": [1, 2]})
 """
 
+from . import errors as exceptions  # ≈ patito `pt.exceptions` (reference __init__.py:5)
 from .errors import (
     ColumnDTypeError,
     DataFrameValidationError,
@@ -34,6 +35,7 @@ from .errors import (
 )
 from .expr import Expr, col, field, lit
 from .frame import DataFrame, ModelGenerator
+from .frame import DataFrame as LazyFrame  # Spark frames are lazy already
 from .spec import Field, Model
 
 __version__ = "0.1.0"
@@ -42,7 +44,9 @@ __all__ = [
     "Model",
     "Field",
     "DataFrame",
+    "LazyFrame",
     "ModelGenerator",
+    "exceptions",
     "Expr",
     "col",
     "lit",

@@ -297,6 +297,30 @@ def test_examples_validate_roundtrip(spark):
     Complete.validate(df.as_spark())
 
 
+def test_example_instance_passes_instance_validation():
+    # §2.d ↔ instance validator coherence: a generated example must survive
+    # full per-field validation when re-constructed through __init__
+    class Complete(pt.Model):
+        id: int = pt.Field(unique=True)
+        name: str = pt.Field(min_length=3)
+        zone: Literal["dry", "cold", "frozen"]
+        pct: float = pt.Field(ge=0.0, le=1.0)
+        flag: bool
+        opt: Optional[int]
+        bounded: int = pt.Field(ge=10, le=20)
+        when: dt.date
+
+    ex = Complete.example()
+    revalidated = Complete(**ex.model_dump())  # raises on any bad value
+    assert revalidated == ex
+
+
+def test_exceptions_module_alias():
+    # reference exposes `pt.exceptions` (patito __init__.py:5)
+    assert pt.exceptions.MultipleRowsReturned is pt.MultipleRowsReturned
+    assert pt.LazyFrame is pt.DataFrame  # Spark frames are lazy already
+
+
 def test_example_value_bounds():
     class M(pt.Model):
         two_sided: int = pt.Field(ge=10, le=20)
