@@ -129,6 +129,42 @@ def test_bucketed_tables_join_without_shuffle(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_ivf_index_bucket_pruning(spark, sf_dir):
+    """Persisting the IVF index bucketed by centroid makes probe-time reads
+    prune: scanning nprobe buckets touches only those buckets' files."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.similarity import build_ivf_index
+    from patito_spark.sources.io import write_bucketed_table
+
+    table = "patito_test_ivf"
+    try:
+        embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        indexed, _ = build_ivf_index(embeddings, n_centroids=8)
+        write_bucketed_table(indexed, table, "_centroid", n_buckets=8)
+        # the planner falls back to a plain scan when bucketing avoids no
+        # shuffle; keep the bucketed scan so the bucket filter PRUNES
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            probe_scan = spark.table(table).filter(
+                F.col("_centroid").isin(1, 3)
+            )
+            plan = probe_scan._jdf.queryExecution().executedPlan().toString()
+            import re
+
+            m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
+            # buckets are hash(_centroid) % 8, so 2 centroids select ≤ 2
+            assert m and int(m.group(1)) <= 2, plan[:1200]
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_read_csv_alias_generator(spark, tmp_path):
     def lower(name: str) -> str:
         return name.lower()
