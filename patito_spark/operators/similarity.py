@@ -166,7 +166,10 @@ def build_ivf_index(
     lowest-id vectors — cheaper and trivially reproducible in plain SQL
     (used by the oracle-checked contract query).  Returns
     ``(indexed_df, centroids)`` where indexed_df has a ``_centroid`` column
-    — persist it bucketed by ``_centroid`` so probe-time reads prune.
+    — persist it with ``sources.io.write_bucketed_table(indexed, t,
+    "_centroid")`` so probe-time reads prune whole buckets (verified:
+    test_ivf_index_bucket_pruning shows ``SelectedBucketsCount`` dropping
+    to the probed buckets).
     """
     if strategy == "kmeans":
         sample = (
