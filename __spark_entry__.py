@@ -478,6 +478,68 @@ FROM documents d LEFT JOIN packed p USING (doc_id)
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash pigeonhole-banded candidate pairs with exact hamming
+    verification — the pair stage itself, oracle-checked (the signature
+    stage is covered by ``simhash_values``)."""
+    from patito_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    pairs = simhash_candidate_pairs(
+        docs, "doc_id", "text_norm", max_hamming=3, chunks=4, max_bucket_size=64
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _sql_simhash_pairs(
+    bits: int = 60, chunks: int = 4, max_hamming: int = 3, max_bucket: int = 64
+) -> str:
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    return f"""
+WITH sh AS ({_sql_simhash(bits)}),
+banded AS (
+  SELECT doc_id, simhash, u.c AS chunk,
+         (simhash >> CAST(u.c * {chunk_bits} AS INTEGER)) & {mask} AS value
+  FROM sh, unnest(range(0, {chunks})) AS u(c)
+), sized AS (
+  SELECT chunk, value, count(*) AS n FROM banded GROUP BY chunk, value
+), ok AS (
+  SELECT chunk, value FROM sized WHERE n > 1 AND n <= {max_bucket}
+), surviving AS (
+  SELECT b.doc_id, b.simhash, b.chunk, b.value
+  FROM banded b JOIN ok USING (chunk, value)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM surviving a JOIN surviving b
+    ON a.chunk = b.chunk AND a.value = b.value AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def q_embedding_topk_blockwise(spark, sf_dir):
+    """The Arrow/numpy blockwise ANN path, gate-checked against the same
+    SQL oracle as the native-Column brute force (identical semantics)."""
+    from patito_spark.operators.similarity import topk_blockwise
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return topk_blockwise(emb, probes, k=5).select(
+        "probe_id", "neighbor_id", "cosine", "rank"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from patito_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1213,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_values": q_simhash_values,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_topk_blockwise": q_embedding_topk_blockwise,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "stats_profile": q_stats_profile,
@@ -1253,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY_SCORES,
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_values": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "embedding_topk_blockwise": SQL_EMBEDDING_TOPK,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "stats_profile": SQL_STATS_PROFILE,
