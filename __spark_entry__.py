@@ -390,6 +390,62 @@ FROM m
 """
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style duplicate-trigram fraction per document."""
+    from patito_spark.functions.text import repetition_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", repetition_fraction(F.col("text"), n=3).alias("rep")
+    )
+
+
+SQL_REPETITION_SCORES = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END AS s
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(s) > 0
+            THEN round(1.0 - len(list_distinct(s)) / CAST(len(s) AS DOUBLE), 6)
+            ELSE 0.0 END AS rep
+FROM sh
+"""
+
+
+def q_pii_counts(spark, sf_dir):
+    """Per-document PII-surface pattern counts (emails/ipv4/phones) — the
+    scrub report, one scan, all patterns JVM-side."""
+    from patito_spark.functions.text import pii_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.cast("long").alias(k) for k, c in counts.items()]
+    )
+
+
+def _sql_pii_counts() -> str:
+    from patito_spark.functions.text import PII_PATTERNS
+
+    terms = ",\n       ".join(
+        "len(regexp_extract_all(text, '{}'))::BIGINT AS {}".format(
+            pattern.replace("'", "''"), name
+        )
+        for name, pattern in PII_PATTERNS.items()
+    )
+    return f"SELECT doc_id,\n       {terms}\nFROM documents"
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash LSH candidate pairs with duplicated documents planted by
     construction? No — run directly on the real table: both engines see the
@@ -1273,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "repetition_scores": q_repetition_scores,
+        "pii_counts": q_pii_counts,
         "minhash_pairs": q_minhash_pairs,
         "simhash_values": q_simhash_values,
         "simhash_pairs": q_simhash_pairs,
@@ -1315,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_id": _sql_lang_id(),
         "quality_scores": SQL_QUALITY_SCORES,
+        "repetition_scores": SQL_REPETITION_SCORES,
+        "pii_counts": _sql_pii_counts(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_values": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

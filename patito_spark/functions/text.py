@@ -144,6 +144,43 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 6)
 
 
+def repetition_fraction(col: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: the fraction of word n-grams that
+    are duplicates of an earlier n-gram in the same document
+    (``1 - distinct/total``; 0.0 for docs with no n-grams).
+
+    A strong boilerplate/spam indicator used by standard web-text quality
+    filters.  Single-pass native Columns — no explode, no shuffle.
+    """
+    sh = word_shingles(col, n=n)
+    total = F.size(sh)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(sh)) / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
+#: conservative PII-ish surface patterns (counting, not redaction —
+#: deterministic and cross-engine reproducible)
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phones": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def pii_counts(col: Column) -> dict:
+    """Per-pattern occurrence counts, as {name: Column}.
+
+    ``regexp_count`` runs JVM-side; compose into one ``select`` so the
+    whole scrub report stays a single scan.
+    """
+    return {
+        name: F.regexp_count(col, F.lit(pattern))
+        for name, pattern in PII_PATTERNS.items()
+    }
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -349,6 +349,53 @@ def test_ivf_first_strategy_uses_lowest_ids(spark, embeddings):
     assert [c[1] for c in centroids] == expected
 
 
+def test_repetition_fraction(spark):
+    from patito_spark.functions.text import repetition_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # all trigrams unique
+            (2, "spam spam spam spam spam spam spam"),    # one trigram repeated
+            (3, "ab"),                                     # single shingle → 0.0
+            (4, ""),                                       # empty → 0.0
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["rep"]
+        for r in df.select(
+            "id", repetition_fraction(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert rows[1] == 0.0
+    assert rows[2] == pytest.approx(0.8)  # 5 trigrams, 1 distinct
+    assert rows[3] == 0.0 and rows[4] == 0.0
+
+
+def test_pii_counts(spark):
+    from patito_spark.functions.text import pii_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, server 10.0.0.1, "
+                "call +1 (555) 123-4567 today"),
+            (2, "no pii here"),
+        ],
+        "id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(k) for k, c in counts.items()]
+        ).collect()
+    }
+    assert rows[1]["emails"] == 2
+    assert rows[1]["ipv4"] == 1
+    assert rows[1]["phones"] == 1
+    assert rows[2]["emails"] == rows[2]["ipv4"] == rows[2]["phones"] == 0
+
+
 # -- url functions -----------------------------------------------------------------------------------
 
 
