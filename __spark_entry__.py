@@ -738,6 +738,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (an operator Spark lacks natively — window-composed in
+    operators/asof.py) checked against DuckDB's native ASOF JOIN: every
+    event picks up the most recent hourly rate for its event type."""
+    from patito_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    rates = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(F.round(F.avg("value"), 4).alias("rate"))
+    joined = asof_join(
+        events.select("event_id", "ts", "event_type"),
+        rates,
+        on="ts",
+        by=["event_type"],
+    )
+    return joined.select("event_id", "event_type", "rate")
+
+
+SQL_ASOF_JOIN = """
+WITH ev AS (
+  SELECT * FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rts, round(avg(value), 4) AS rate
+  FROM ev GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, r.rate
+FROM ev e ASOF LEFT JOIN rates r
+  ON e.event_type = r.event_type AND e.ts >= r.rts
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style single-pass aggregation (classic scan-heavy shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1341,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "ri_orphans": q_ri_orphans,
         "events_windowed": q_events_windowed,
+        "asof_join": q_asof_join,
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
@@ -1385,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram": SQL_HISTOGRAM,
         "ri_orphans": SQL_RI_ORPHANS,
         "events_windowed": SQL_EVENTS_WINDOWED,
+        "asof_join": SQL_ASOF_JOIN,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,

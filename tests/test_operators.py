@@ -443,6 +443,47 @@ def test_url_parsing(spark):
     assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
 
 
+# -- as-of join ---------------------------------------------------------------------------------------
+
+
+def test_asof_join_backward_forward(spark):
+    from patito_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (2, 10, "a"), (3, 3, "b"), (4, 1, "b")],
+        "id long, t long, k string",
+    )
+    right = spark.createDataFrame(
+        [(2, "a", 20.0), (7, "a", 70.0), (10, "a", 100.0), (2, "b", 2.0)],
+        "t long, k string, px double",
+    )
+    back = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    # id=1: latest a-row with t<=5 is t=2; id=2: t=10 matches inclusively;
+    # id=3: b-row t=2; id=4: nothing at or before t=1 → NULL
+    assert back == {1: 20.0, 2: 100.0, 3: 2.0, 4: None}
+    fwd = {
+        r["id"]: r["px"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 70.0, 2: 100.0, 3: None, 4: 2.0}
+
+
+def test_asof_join_suffix_and_no_by(spark):
+    from patito_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, 9.0)], "id long, t long, px double")
+    right = spark.createDataFrame([(4, 1.5)], "t long, px double")
+    row = asof_join(left, right, on="t").collect()[0]
+    assert row["px"] == 9.0 and row["px_right"] == 1.5
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="t", direction="sideways")
+
+
 # -- multimodal ---------------------------------------------------------------------------------------
 
 
