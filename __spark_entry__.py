@@ -772,6 +772,43 @@ FROM ev e ASOF LEFT JOIN rates r
 """
 
 
+def q_session_stats(spark, sf_dir):
+    """Gaps-and-islands sessionization of the events table (30-min gap):
+    per-session event counts and durations, hash-checked against a lag +
+    cumulative-sum DuckDB twin."""
+    from patito_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return session_stats(events, "user_id", "ts", gap_seconds=1800)
+
+
+SQL_SESSION_STATS = """
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS starts_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(starts_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*)::BIGINT AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+FROM sessioned
+GROUP BY user_id, session_seq
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style single-pass aggregation (classic scan-heavy shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1376,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_orphans": q_ri_orphans,
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
+        "session_stats": q_session_stats,
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
@@ -1421,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "ri_orphans": SQL_RI_ORPHANS,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "asof_join": SQL_ASOF_JOIN,
+        "session_stats": SQL_SESSION_STATS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,

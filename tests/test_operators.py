@@ -484,6 +484,44 @@ def test_asof_join_suffix_and_no_by(spark):
         asof_join(left, right, on="t", direction="sideways")
 
 
+# -- sessionization -----------------------------------------------------------------------------------
+
+
+def test_sessionize_gaps_and_islands(spark):
+    import datetime as dt
+
+    from patito_spark.operators.sessions import session_stats, sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base),                                  # u1 session 1
+        (1, base + dt.timedelta(minutes=10)),       # still session 1
+        (1, base + dt.timedelta(minutes=50)),       # gap 40m > 30m → session 2
+        (2, base),                                  # u2 session 1
+        (2, base + dt.timedelta(seconds=1800)),     # exactly the gap → same
+        (2, base + dt.timedelta(seconds=3601)),     # 1801s later → session 2
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (r["u"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "u", "ts", gap_seconds=1800).collect()
+    }
+    assert got[(1, rows[0][1])] == 1
+    assert got[(1, rows[1][1])] == 1
+    assert got[(1, rows[2][1])] == 2
+    assert got[(2, rows[3][1])] == 1
+    assert got[(2, rows[4][1])] == 1  # inclusive boundary
+    assert got[(2, rows[5][1])] == 2
+    stats = {
+        (r["u"], r["session_seq"]): r
+        for r in session_stats(df, "u", "ts", gap_seconds=1800).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_us"] == 600 * 1_000_000
+    assert stats[(2, 2)]["n_events"] == 1
+    assert stats[(2, 2)]["duration_us"] == 0
+
+
 # -- multimodal ---------------------------------------------------------------------------------------
 
 
