@@ -446,6 +446,39 @@ def _sql_pii_counts() -> str:
     return f"SELECT doc_id,\n       {terms}\nFROM documents"
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by key hash — reproducible
+    across runs, engines, and table growth (unlike rand() sampling)."""
+    from patito_spark.operators.sampling import split_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_counts(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
+
+
+def _sql_hash_split(weights: Optional[dict] = None, salt: str = "split") -> str:
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    total = float(sum(weights.values()))
+    labels = sorted(weights)
+    cumulative = 0.0
+    cases = []
+    for label in labels[:-1]:
+        cumulative += weights[label] / total
+        # repr() round-trips the exact double the Spark side computed
+        cases.append(f"WHEN f < {cumulative!r} THEN '{label}'")
+    case_sql = "\n            ".join(cases)
+    return f"""
+WITH h AS (
+  SELECT (('0x' || substring(md5(doc_id::VARCHAR || '{salt}'), 1, 15))::BIGINT
+          % 1000000) / 1000000.0 AS f
+  FROM documents
+)
+SELECT CASE {case_sql}
+            ELSE '{labels[-1]}' END AS split,
+       count(*)::BIGINT AS n_rows
+FROM h GROUP BY 1
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash LSH candidate pairs with duplicated documents planted by
     construction? No — run directly on the real table: both engines see the
@@ -1402,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "repetition_scores": q_repetition_scores,
         "pii_counts": q_pii_counts,
+        "hash_split": q_hash_split,
         "minhash_pairs": q_minhash_pairs,
         "simhash_values": q_simhash_values,
         "simhash_pairs": q_simhash_pairs,
@@ -1448,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY_SCORES,
         "repetition_scores": SQL_REPETITION_SCORES,
         "pii_counts": _sql_pii_counts(),
+        "hash_split": _sql_hash_split(),
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash_values": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

@@ -1,0 +1,84 @@
+"""Deterministic, key-based sampling and dataset splits.
+
+``rand()``-based sampling is neither reproducible across runs/engines nor
+stable under retries/resumes; at training-data scale the standard practice
+is hash-based assignment: a row's fate is a pure function of its key.
+md5 keeps the hash portable (identical in every engine — see
+``functions.hashing``), so samples and splits are oracle-checkable and a
+re-run on a grown table keeps previously-assigned rows in the same split.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: assignment granularity: the md5-derived value is uniform in [0, 10^6)
+_BUCKETS = 1_000_000
+
+
+def _hash_fraction(key: Column, salt: str) -> Column:
+    """Uniform [0, 1) fraction from a key — portable md5, first 15 hex
+    chars (fits a signed bigint in every engine)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % _BUCKETS) / F.lit(float(_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen purely by key hash.
+
+    Same key → same verdict on every run, engine, and table size; the
+    filter is a scan-side predicate (no shuffle)."""
+    return df.filter(_hash_fraction(F.col(key_col), salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'/...) by key hash.
+
+    *weights* maps label → relative weight (normalized internally); labels
+    are assigned in sorted-label order over contiguous hash ranges, so the
+    assignment is stable when weights stay put and reproducible anywhere.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: weight} dict")
+    total = float(sum(weights.values()))
+    frac = _hash_fraction(F.col(key_col), salt)
+    expr = None
+    cumulative = 0.0
+    labels = sorted(weights)
+    for label in labels[:-1]:
+        cumulative += weights[label] / total
+        clause = frac < cumulative
+        expr = (
+            F.when(clause, F.lit(label))
+            if expr is None
+            else expr.when(clause, F.lit(label))
+        )
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def split_counts(
+    df: DataFrame, key_col: str, weights: dict, salt: str = "split"
+) -> DataFrame:
+    """Rows per split label — the sanity report for a split assignment."""
+    return (
+        hash_split(df, key_col, weights, salt=salt)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

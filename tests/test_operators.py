@@ -522,6 +522,43 @@ def test_sessionize_gaps_and_islands(spark):
     assert stats[(2, 2)]["duration_us"] == 0
 
 
+# -- deterministic sampling / splits --------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_and_proportional(spark):
+    from patito_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 0.2).collect()}
+    s2 = {r["k"] for r in deterministic_sample(df, "k", 0.2).collect()}
+    assert s1 == s2  # pure function of the key
+    assert 0.17 < len(s1) / 10_000 < 0.23
+    # a grown table keeps previously-sampled keys sampled
+    bigger = spark.range(20_000).withColumnRenamed("id", "k")
+    s3 = {r["k"] for r in deterministic_sample(bigger, "k", 0.2).collect()}
+    assert s1 <= s3
+
+
+def test_hash_split_partitions_every_row_once(spark):
+    from patito_spark.operators.sampling import hash_split, split_counts
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    weights = {"train": 8, "val": 1, "test": 1}
+    counts = {
+        r["split"]: r["n_rows"]
+        for r in split_counts(df, "k", weights).collect()
+    }
+    assert sum(counts.values()) == 10_000
+    assert 0.75 < counts["train"] / 10_000 < 0.85
+    assert 0.07 < counts["val"] / 10_000 < 0.13
+    # disjoint and exhaustive by construction; stable across calls
+    a = hash_split(df, "k", weights).groupBy("split").count().collect()
+    b = hash_split(df, "k", weights).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, "k", {})
+
+
 # -- multimodal ---------------------------------------------------------------------------------------
 
 
