@@ -805,6 +805,49 @@ FROM ev e ASOF LEFT JOIN rates r
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join (Spark would otherwise plan a
+    nested loop): events against half-open 30-minute maintenance windows
+    per event type, checked against a plain inequality join in DuckDB."""
+    from patito_spark.operators.ranges import range_join
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "ts", "event_type")
+    )
+    hours = events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("start")
+    ).distinct()
+    intervals = hours.withColumn(
+        "end", F.col("start") + F.expr("INTERVAL 30 MINUTES")
+    ).withColumn("win", F.date_format("start", "yyyy-MM-dd HH:mm:ss"))
+    out = range_join(
+        events, intervals, "ts", "start", "end",
+        by=["event_type"], bucket_seconds=1800,
+    )
+    return out.select("event_id", "event_type", "win")
+
+
+SQL_RANGE_JOIN = """
+WITH ev AS (
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), iv AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS win_start FROM ev
+), iv2 AS (
+  SELECT event_type, win_start,
+         win_start + INTERVAL 30 MINUTE AS win_end,
+         strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win
+  FROM iv
+)
+SELECT e.event_id, e.event_type, i.win
+FROM ev e JOIN iv2 i
+  ON e.event_type = i.event_type
+ AND e.ts >= i.win_start AND e.ts < i.win_end
+"""
+
+
 def q_session_stats(spark, sf_dir):
     """Gaps-and-islands sessionization of the events table (30-min gap):
     per-session event counts and durations, hash-checked against a lag +
@@ -1448,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
         "session_stats": q_session_stats,
+        "range_join": q_range_join,
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
@@ -1495,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "asof_join": SQL_ASOF_JOIN,
         "session_stats": SQL_SESSION_STATS,
+        "range_join": SQL_RANGE_JOIN,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,

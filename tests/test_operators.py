@@ -484,6 +484,48 @@ def test_asof_join_suffix_and_no_by(spark):
         asof_join(left, right, on="t", direction="sideways")
 
 
+# -- range join ---------------------------------------------------------------------------------------
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    from patito_spark.operators.ranges import range_join
+
+    # numeric "timestamps"; intervals spanning multiple buckets, an empty
+    # interval, and a point on the half-open boundary
+    points = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 99.0, "a"), (3, 100.0, "a"), (4, 250.0, "b")],
+        "id long, t double, k string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0.0, 100.0, "w1"),     # multi-bucket; 100 excluded
+            ("a", 90.0, 110.0, "w2"),
+            ("b", 250.0, 250.0, "w3"),   # empty interval → no matches
+            ("b", 200.0, 300.0, "w4"),
+        ],
+        "k string, s double, e double, w string",
+    )
+    got = {
+        (r["id"], r["w"])
+        for r in range_join(
+            points, intervals, "t", "s", "e", by=["k"], bucket_seconds=30
+        ).collect()
+    }
+    naive = {
+        (r["id"], r["w"])
+        for r in points.join(
+            intervals,
+            (points["k"] == intervals["k"])
+            & (points["t"] >= intervals["s"])
+            & (points["t"] < intervals["e"]),
+        ).collect()
+    }
+    assert got == naive
+    assert (1, "w1") in got and (2, "w2") in got
+    assert (3, "w1") not in got  # half-open end
+    assert (4, "w4") in got and (4, "w3") not in got
+
+
 # -- sessionization -----------------------------------------------------------------------------------
 
 
