@@ -885,6 +885,44 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style hour→day→week rollup of event values — coarser
+    levels re-aggregate finer partials (one raw scan total); the oracle
+    recomputes every level directly from raw, proving the merge is exact."""
+    from patito_spark.operators.rollup import time_rollup
+
+    events = _t(spark, sf_dir, "events")
+    out = time_rollup(events, "ts", "value", levels=("hour", "day", "week"))
+    return out.select(
+        "level",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        F.round("sum_v", 4).alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+SQL_TIME_ROLLUP = """
+WITH ev AS (SELECT ts, value FROM events WHERE ts IS NOT NULL)
+SELECT 'hour' AS level,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM ev GROUP BY 2
+UNION ALL
+SELECT 'day',
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+       count(*)::BIGINT, round(sum(value), 4), min(value), max(value)
+FROM ev GROUP BY 2
+UNION ALL
+SELECT 'week',
+       strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S'),
+       count(*)::BIGINT, round(sum(value), 4), min(value), max(value)
+FROM ev GROUP BY 2
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style single-pass aggregation (classic scan-heavy shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1492,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "session_stats": q_session_stats,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
@@ -1540,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "session_stats": SQL_SESSION_STATS,
         "range_join": SQL_RANGE_JOIN,
+        "time_rollup": SQL_TIME_ROLLUP,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,

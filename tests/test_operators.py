@@ -526,6 +526,33 @@ def test_range_join_matches_naive_inequality_join(spark):
     assert (4, "w4") in got and (4, "w3") not in got
 
 
+# -- time rollup --------------------------------------------------------------------------------------
+
+
+def test_time_rollup_reaggregation_matches_direct(spark):
+    import datetime as dt
+
+    from patito_spark.operators.rollup import time_rollup
+
+    base = dt.datetime(2024, 3, 4, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=17 * i), None if v is None else float(v))
+        for i, v in enumerate([5, None, 3, 8, 1, 9, 2, 7, 4, 6])
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = time_rollup(df, "ts", "v", levels=("hour", "day"))
+    day = [r for r in out.collect() if r["level"] == "day"]
+    assert len(day) == 1
+    # merged partials must equal direct aggregation of the raw rows
+    assert day[0]["n"] == 10
+    assert day[0]["sum_v"] == 45.0
+    assert day[0]["min_v"] == 1.0 and day[0]["max_v"] == 9.0
+    hours = {r["bucket"].hour: r["n"] for r in out.collect() if r["level"] == "hour"}
+    assert sum(hours.values()) == 10
+    with pytest.raises(ValueError, match="at least one"):
+        time_rollup(df, "ts", "v", levels=())
+
+
 # -- sessionization -----------------------------------------------------------------------------------
 
 
