@@ -888,37 +888,50 @@ GROUP BY user_id, session_seq
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style hour→day→week rollup of event values — coarser
     levels re-aggregate finer partials (one raw scan total); the oracle
-    recomputes every level directly from raw, proving the merge is exact."""
+    recomputes every level directly from raw, proving the merge is exact.
+
+    The gate rolls up ``floor(value*1e6)`` as BIGINT micros: integer sums
+    are associative, so hierarchical (Spark) vs direct (DuckDB) accumulation
+    order cannot flake the hash at any scale factor — double sums would
+    (repo invariant: integer-count-derived statistics for cross-engine
+    parity).  ``floor`` (not round) sidesteps tie-breaking differences."""
     from patito_spark.operators.rollup import time_rollup
 
-    events = _t(spark, sf_dir, "events")
-    out = time_rollup(events, "ts", "value", levels=("hour", "day", "week"))
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_us", F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    )
+    out = time_rollup(events, "ts", "value_us", levels=("hour", "day", "week"))
     return out.select(
         "level",
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "n",
-        F.round("sum_v", 4).alias("sum_v"),
-        "min_v",
-        "max_v",
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
     )
 
 
 SQL_TIME_ROLLUP = """
-WITH ev AS (SELECT ts, value FROM events WHERE ts IS NOT NULL)
+WITH ev AS (
+  SELECT ts, floor(value * 1000000.0)::BIGINT AS value_us
+  FROM events WHERE ts IS NOT NULL
+)
 SELECT 'hour' AS level,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v,
-       min(value) AS min_v, max(value) AS max_v
+       count(*)::BIGINT AS n, sum(value_us)::BIGINT AS sum_v,
+       min(value_us)::BIGINT AS min_v, max(value_us)::BIGINT AS max_v
 FROM ev GROUP BY 2
 UNION ALL
 SELECT 'day',
        strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
-       count(*)::BIGINT, round(sum(value), 4), min(value), max(value)
+       count(*)::BIGINT, sum(value_us)::BIGINT, min(value_us)::BIGINT,
+       max(value_us)::BIGINT
 FROM ev GROUP BY 2
 UNION ALL
 SELECT 'week',
        strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S'),
-       count(*)::BIGINT, round(sum(value), 4), min(value), max(value)
+       count(*)::BIGINT, sum(value_us)::BIGINT, min(value_us)::BIGINT,
+       max(value_us)::BIGINT
 FROM ev GROUP BY 2
 """
 

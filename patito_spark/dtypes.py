@@ -22,7 +22,10 @@ Spark divergences from polars (documented, with synthesized checks):
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import enum
+import re
+import types
 import typing
 from typing import Any, Optional, Union
 
@@ -37,6 +40,19 @@ INTEGER_TYPES: frozenset = frozenset(
 )
 FLOAT_TYPES: frozenset = frozenset({T.FloatType(), T.DoubleType()})
 DATETIME_TYPES: frozenset = frozenset({T.TimestampType(), T.TimestampNTZType()})
+
+
+class _AnyDecimalType(T.DecimalType):
+    """Valid-set marker: matches a DecimalType of ANY precision/scale.
+
+    A ``decimal.Decimal`` annotation doesn't pin precision (the reference
+    maps it to an unparametrized ``pl.Decimal``); an explicit
+    ``Field(dtype="decimal(p,s)")`` narrows it.
+    """
+
+
+#: any-precision decimal family (annotation ``decimal.Decimal``)
+DECIMAL_TYPES: frozenset = frozenset({_AnyDecimalType(38, 18)})
 
 _STRING_ALIASES: dict[str, T.DataType] = {
     "int8": T.ByteType(),
@@ -88,7 +104,12 @@ def parse_dtype(dtype: Any) -> T.DataType:
         key = dtype.strip().lower()
         if key in _STRING_ALIASES:
             return _STRING_ALIASES[key]
-        # fall back to Spark's own DDL parser ("array<int>", "decimal(10,2)", ...)
+        # decimal(p,s) parsed Python-side: Spark's DDL parser needs a live
+        # SparkContext, and model definition must stay metadata-only
+        m = re.fullmatch(r"decimal(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?", key)
+        if m:
+            return T.DecimalType(int(m.group(1) or 10), int(m.group(2) or 0))
+        # fall back to Spark's own DDL parser ("array<int>", "struct<...>", ...)
         return T._parse_datatype_string(dtype)  # type: ignore[attr-defined]
     raise TypeError(f"Cannot interpret {dtype!r} as a Spark dtype")
 
@@ -128,8 +149,10 @@ def resolve_annotation(annotation: Any) -> ResolvedType:
     origin = typing.get_origin(anno)
     args = typing.get_args(anno)
 
-    # Optional[T] / Union[T, None]  (reference utils.py:71-106)
-    if origin is Union:
+    # Optional[T] / Union[T, None] / PEP-604 `T | None`
+    # (reference utils.py:71-106; get_origin returns types.UnionType for
+    # the `|` spelling on Python < 3.14)
+    if origin is Union or origin is getattr(types, "UnionType", None):
         non_none = [a for a in args if a is not type(None)]
         if len(non_none) < len(args):
             nullable = True
@@ -226,6 +249,10 @@ def resolve_annotation(annotation: Any) -> ResolvedType:
             return ResolvedType(
                 T.DayTimeIntervalType(), frozenset({T.DayTimeIntervalType()})
             )
+        if anno is decimal.Decimal:
+            # Spark's inferred type for Python Decimal values is (38,18);
+            # the valid set accepts any precision/scale (see _AnyDecimalType)
+            return ResolvedType(T.DecimalType(38, 18), DECIMAL_TYPES)
         if anno is dt.time:
             time_type = getattr(T, "TimeType", None)
             if time_type is not None:
@@ -250,6 +277,9 @@ def dtype_in_valid_set(dtype: T.DataType, valid: frozenset) -> bool:
 
 
 def _types_equivalent(a: T.DataType, b: T.DataType) -> bool:
+    if isinstance(a, _AnyDecimalType) or isinstance(b, _AnyDecimalType):
+        # the marker matches any concrete precision/scale
+        return isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType)
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return _types_equivalent(a.elementType, b.elementType)
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):

@@ -245,6 +245,8 @@ class DataFrame:
         strategy: Optional[str] = None,
         limit: Optional[int] = None,
         matches_supertype: bool = True,
+        order_by: Union[str, list, None] = None,
+        partition_by: Union[str, list, None] = None,
     ) -> "DataFrame":
         """Fill nulls with a literal, a strategy, or model defaults.
 
@@ -256,19 +258,32 @@ class DataFrame:
         - ``"min"`` / ``"max"`` / ``"mean"``: numeric columns filled with the
           column's aggregate — ONE aggregation job, then a coalesce per
           column (the 100 TB shape: a single scan producing one tiny row).
-        - ``"forward"`` / ``"backward"``: documented divergence — Spark
-          DataFrames have no inherent row order, so order-dependent fills
-          are ill-defined without an explicit sort key and raise.
+        - ``"forward"`` / ``"backward"``: require an explicit ``order_by``
+          (Spark DataFrames have no inherent row order; polars' positional
+          semantics are ill-defined on a shuffled table, so calling these
+          without ``order_by`` raises).  Implemented as one ordered window
+          (``last``/``first`` with ``ignorenulls``); ``limit`` bounds the
+          fill to nulls within *limit* rows of the donor value, matching
+          polars' consecutive-fill cap.  Pass ``partition_by`` at scale —
+          a global ordered window is a single-partition sort.
         """
+        if value is not None and strategy is not None:
+            # reference parity: polars raises when both are given
+            # (polars.py:637-708) rather than silently preferring one
+            raise ValueError("cannot specify both `value` and `strategy`")
+        if limit is not None and strategy not in ("forward", "backward"):
+            raise ValueError(
+                "`limit` only applies to the forward/backward strategies"
+            )
+        if not matches_supertype:
+            raise NotImplementedError(
+                "matches_supertype=False (exact-dtype fills) is not "
+                "supported; Spark's fillna applies type-family matching"
+            )
         if value is not None and strategy is None:
             return type(self)(self._df.fillna(value))
         if strategy in ("forward", "backward"):
-            raise ValueError(
-                f"strategy={strategy!r} requires an inherent row order, which "
-                "Spark DataFrames do not have; sort by an explicit key and "
-                "use window functions (F.last(..., ignorenulls=True) over an "
-                "ordered window) instead."
-            )
+            return self._fill_null_ordered(strategy, order_by, partition_by, limit)
         if strategy in ("zero", "one"):
             fill = 0 if strategy == "zero" else 1
             numeric = [
@@ -315,6 +330,65 @@ class DataFrame:
             else:
                 out[name] = lit
         return type(self)(df.withColumns(out)) if out else self
+
+    def _fill_null_ordered(
+        self,
+        strategy: str,
+        order_by: Union[str, list, None],
+        partition_by: Union[str, list, None],
+        limit: Optional[int],
+    ) -> "DataFrame":
+        """Forward/backward fill over an explicit ordering.
+
+        One window per direction; every non-key column is filled from the
+        nearest non-null value at or before (forward) / after (backward)
+        it in ``order_by`` order.  ``limit`` bounds the window frame so a
+        null further than *limit* rows from its donor stays null — polars'
+        consecutive-fill cap expressed as a frame bound.
+        """
+        if order_by is None:
+            raise ValueError(
+                f"strategy={strategy!r} requires an explicit row order on a "
+                "Spark DataFrame; pass order_by= (and partition_by= at "
+                "scale — a global ordered window is a single-partition sort)"
+            )
+        from pyspark.sql.window import Window
+
+        order = [order_by] if isinstance(order_by, str) else list(order_by)
+        parts = (
+            []
+            if partition_by is None
+            else [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by)
+        )
+        base = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+        ordered = base.orderBy(*[F.col(c).asc() for c in order])
+        if strategy == "forward":
+            w = ordered.rowsBetween(
+                Window.unboundedPreceding if limit is None else -limit,
+                Window.currentRow,
+            )
+
+            def fill(c: str) -> Column:
+                return F.last(F.col(c), ignorenulls=True).over(w)
+
+        else:
+            w = ordered.rowsBetween(
+                Window.currentRow,
+                Window.unboundedFollowing if limit is None else limit,
+            )
+
+            def fill(c: str) -> Column:
+                return F.first(F.col(c), ignorenulls=True).over(w)
+
+        skip = set(order) | set(parts)
+        out = {
+            c: F.coalesce(F.col(c), fill(c))
+            for c in self._df.columns
+            if c not in skip
+        }
+        return type(self)(self._df.withColumns(out)) if out else self
 
     # -- drop (≈ polars.py:504-543) --------------------------------------------------
     def drop(self, columns: Union[str, list, None] = None, *more: str) -> "DataFrame":

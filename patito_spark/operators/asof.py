@@ -12,6 +12,9 @@ Semantics match the conventional as-of join (polars ``join_asof``, DuckDB
 ``ASOF JOIN``): for each left row, the right row with the greatest
 ``on <= left.on`` (backward, default) or smallest ``on >= left.on``
 (forward), per ``by`` group; unmatched left rows keep NULL right columns.
+NULL ``on`` values never match (same as both reference engines): right
+rows with NULL ``on`` are dropped before the union, and left rows with
+NULL ``on`` pass through with NULL right columns.
 Ties among equal right timestamps resolve to the last row in the sort
 order — keep right side unique per (by, on) for deterministic output.
 """
@@ -55,7 +58,10 @@ def asof_join(
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
         F.lit(None).cast(r_struct_type).alias("_r"),
     )
-    r = right.select(
+    # NULL `on` never matches (DuckDB ASOF / polars join_asof parity): a
+    # NULL right timestamp would sort NULLS-FIRST before every real row and
+    # its payload would be carried forward to ALL left rows — drop them here
+    r = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("_ts"),
         F.lit(0).alias("_is_left"),
@@ -80,7 +86,13 @@ def asof_join(
         )
         picked = F.first("_r", ignorenulls=True).over(w)
 
-    matched = u.withColumn("_m", picked).filter(F.col("_is_left") == 1)
+    # NULL-ts left rows stay in the stream (one scan) but never match: in
+    # backward mode their NULLS-FIRST frame holds no right payload anyway;
+    # the guard also covers forward mode, where the frame would otherwise
+    # reach every following right row
+    matched = u.withColumn(
+        "_m", F.when(F.col("_ts").isNotNull(), picked)
+    ).filter(F.col("_is_left") == 1)
     out_cols = [F.col(f"_l.{c}").alias(c) for c in lcols]
     out_cols += [
         F.col(f"_m.{c}").alias(c if c not in lcols else f"{c}{suffix}")

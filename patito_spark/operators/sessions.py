@@ -31,19 +31,30 @@ def sessionize(
 
     A new session starts at a user's first event and whenever the gap
     since their previous event exceeds ``gap_seconds``.  Rows with a NULL
-    timestamp sort first and fall into the user's first session.
+    timestamp sort first (NULLS FIRST) and together form the user's first
+    session; the first real-timestamped event after a NULL block opens a
+    new session (a gap from an unknown time is itself unknown).
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
     prev = F.lag(F.col(ts_col)).over(w)
+    # lag of a constant distinguishes "no previous row" from "previous row
+    # has NULL ts" — without it every row of a NULL-ts block would see
+    # prev IS NULL and open its own session
+    prev_exists = F.lag(F.lit(1)).over(w)
     # microsecond-exact, timezone-free datetime arithmetic (works for both
     # TIMESTAMP and TIMESTAMP_NTZ; second-truncating casts would disagree
     # across engines on subsecond timestamps)
     gap_us = gap_seconds * 1_000_000
-    starts_new = F.when(
-        prev.isNull()
-        | (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col)) > gap_us),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    starts_new = (
+        F.when(prev_exists.isNull(), F.lit(1))  # user's first row
+        .when(F.col(ts_col).isNull(), F.lit(0))  # NULL block coalesces
+        .when(
+            prev.isNull()  # first real ts after a NULL block
+            | (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(
         session_col, F.sum(starts_new).over(running).cast("long")

@@ -16,6 +16,7 @@ patito ``pydantic.py:886-1163`` — pure metadata, no data movement.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import json
 from typing import Any, Optional, Union
 
@@ -323,15 +324,30 @@ class ColumnSpec:
                         "Input should be a valid integer, unable to parse string as an integer"
                     )))
         elif isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
-            if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+            # pydantic v2 lax mode accepts decimal.Decimal for numeric
+            # fields; DecimalType values keep Decimal precision (no float
+            # round-trip)
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float, str, decimal.Decimal)
+            ):
                 errors.append((None, ColumnDTypeError("Input should be a valid number")))
             elif isinstance(value, str):
                 try:
-                    coerced = float(value)
-                except ValueError:
+                    coerced = (
+                        decimal.Decimal(value)
+                        if isinstance(dtype, T.DecimalType)
+                        else float(value)
+                    )
+                except (ValueError, decimal.InvalidOperation):
                     errors.append((None, ColumnDTypeError(
                         "Input should be a valid number, unable to parse string as a number"
                     )))
+            elif isinstance(dtype, T.DecimalType):
+                coerced = (
+                    value
+                    if isinstance(value, decimal.Decimal)
+                    else decimal.Decimal(str(value))
+                )
             else:
                 coerced = float(value)
         elif isinstance(dtype, T.StringType):

@@ -196,6 +196,55 @@ def test_fill_null_value_and_strategies(spark):
         df.fill_null(strategy="bogus")
 
 
+def test_fill_null_rejects_value_plus_strategy_and_stray_limit(spark):
+    # reference parity (polars.py:637-708): both value and strategy is an
+    # error, never a silent preference; limit only pairs with fwd/bwd
+    class M(pt.Model):
+        a: Optional[int]
+
+    df = M.DataFrame(spark.createDataFrame([(1,), (None,)], "a int"))
+    with pytest.raises(ValueError, match="both"):
+        df.fill_null(0, strategy="zero")
+    with pytest.raises(ValueError, match="limit"):
+        df.fill_null(strategy="zero", limit=1)
+    with pytest.raises(NotImplementedError, match="matches_supertype"):
+        df.fill_null(0, matches_supertype=False)
+
+
+def test_fill_null_forward_backward_ordered(spark):
+    class M(pt.Model):
+        k: int
+        a: Optional[int]
+
+    rows = [(1, 10), (2, None), (3, None), (4, 40), (5, None)]
+    df = M.DataFrame(spark.createDataFrame(rows, "k int, a int"))
+    fwd = {r["k"]: r["a"] for r in df.fill_null(strategy="forward", order_by="k").collect()}
+    assert fwd == {1: 10, 2: 10, 3: 10, 4: 40, 5: 40}
+    bwd = {r["k"]: r["a"] for r in df.fill_null(strategy="backward", order_by="k").collect()}
+    assert bwd == {1: 10, 2: 40, 3: 40, 4: 40, 5: None}
+    # limit caps the fill distance (polars' consecutive-null cap)
+    lim = {r["k"]: r["a"] for r in df.fill_null(strategy="forward", order_by="k", limit=1).collect()}
+    assert lim == {1: 10, 2: 10, 3: None, 4: 40, 5: 40}
+
+
+def test_fill_null_forward_partitioned(spark):
+    class M(pt.Model):
+        g: str
+        k: int
+        a: Optional[int]
+
+    rows = [("x", 1, 1), ("x", 2, None), ("y", 1, None), ("y", 2, 9)]
+    df = M.DataFrame(spark.createDataFrame(rows, "g string, k int, a int"))
+    out = {
+        (r["g"], r["k"]): r["a"]
+        for r in df.fill_null(
+            strategy="forward", order_by="k", partition_by="g"
+        ).collect()
+    }
+    # the y-partition's leading null must NOT see x's values
+    assert out == {("x", 1): 1, ("x", 2): 1, ("y", 1): None, ("y", 2): 9}
+
+
 def test_read_csv_classmethod(spark, tmp_path):
     # ≈ reference test: headerless CSV takes model column order and types,
     # derived_from populated on read (polars.py:880-960)

@@ -162,6 +162,24 @@ def test_dtype_matrix():
     assert d["byt"] == T.BinaryType()
 
 
+def test_dtype_pep604_union_and_decimal():
+    # `str | None` (PEP 604) must resolve like Optional[str]; decimal.Decimal
+    # defaults to Spark's inferred (38,18) and accepts any precision/scale
+    import decimal
+
+    class M(pt.Model):
+        s: str | None
+        u: int | float
+        dec: decimal.Decimal
+        dec4: decimal.Decimal = pt.Field(dtype="decimal(12,4)")
+
+    d = M.dtypes
+    assert d["s"] == T.StringType() and M.specs["s"].nullable
+    assert d["u"] == T.LongType() and not M.specs["u"].nullable
+    assert d["dec"] == T.DecimalType(38, 18)
+    assert d["dec4"] == T.DecimalType(12, 4)
+
+
 def test_nested_model_dtype():
     class Inner(pt.Model):
         x: int
@@ -240,6 +258,29 @@ def test_instance_validation_types():
     # bool is never an int, pydantic-style
     with pytest.raises(pt.DataFrameValidationError):
         Product(product_id=True, temperature_zone="dry", demand=0.1, name="ok")
+
+
+def test_instance_validation_accepts_decimal():
+    # pydantic v2 lax mode accepts decimal.Decimal for numeric fields; a
+    # DecimalType field keeps Decimal precision (no float round-trip)
+    import decimal
+
+    p = Product(
+        product_id=1,
+        temperature_zone="dry",
+        demand=decimal.Decimal("0.25"),
+        name="apple",
+    )
+    assert p.demand == 0.25
+
+    class Priced(pt.Model):
+        price: decimal.Decimal = pt.Field(dtype="decimal(12,4)")
+
+    exact = decimal.Decimal("19.0001")
+    got = Priced(price=exact).price
+    assert isinstance(got, decimal.Decimal) and got == exact
+    # string input parses to Decimal for decimal dtype
+    assert Priced(price="19.0001").price == exact
 
 
 def test_instance_validation_missing_field_collected():

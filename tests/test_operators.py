@@ -473,6 +473,34 @@ def test_asof_join_backward_forward(spark):
     assert fwd == {1: 70.0, 2: 100.0, 3: None, 4: 2.0}
 
 
+def test_asof_join_null_on_never_matches(spark):
+    # DuckDB ASOF / polars join_asof parity: NULL timestamps match nothing —
+    # a NULL right ts must not be carried into real rows (it would sort
+    # NULLS-FIRST before everything), and a NULL left ts gets NULL payload
+    from patito_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (2, None, "a")], "id long, t long, k string"
+    )
+    right = spark.createDataFrame(
+        [(None, "a", 99.0), (2, "a", 20.0)], "t long, k string, px double"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["id"]: r["px"]
+            for r in asof_join(
+                left, right, on="t", by=["k"], direction=direction
+            ).collect()
+        }
+        assert got[2] is None, direction  # NULL left ts never matches
+        assert got[1] != 99.0, direction  # NULL right ts never donates
+    back = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    assert back == {1: 20.0, 2: None}
+
+
 def test_asof_join_suffix_and_no_by(spark):
     from patito_spark.operators.asof import asof_join
 
@@ -589,6 +617,51 @@ def test_sessionize_gaps_and_islands(spark):
     assert stats[(1, 1)]["duration_us"] == 600 * 1_000_000
     assert stats[(2, 2)]["n_events"] == 1
     assert stats[(2, 2)]["duration_us"] == 0
+
+
+def test_sessionize_null_timestamps_coalesce(spark):
+    # a NULL-ts block forms ONE leading session (not one per row); the
+    # first real-timestamped event then opens a new session
+    import datetime as dt
+
+    from patito_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, None),
+        (1, None),
+        (1, base),
+        (1, base + dt.timedelta(minutes=5)),
+        (2, base),  # control user: no NULLs → plain session 1
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = sessionize(df, "u", "ts", gap_seconds=1800).collect()
+    u1 = sorted(
+        ((r["ts"] is not None, r["ts"]), r["session_seq"])
+        for r in out
+        if r["u"] == 1
+    )
+    assert [s for _, s in u1] == [1, 1, 2, 2]
+    assert [r["session_seq"] for r in out if r["u"] == 2] == [1]
+
+
+def test_time_rollup_rejects_non_nesting_levels(spark):
+    import datetime as dt
+
+    import pytest
+
+    from patito_spark.operators.rollup import time_rollup
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="week"):
+        time_rollup(df, "ts", "v", levels=("week", "month"))
+    with pytest.raises(ValueError, match="nesting"):
+        time_rollup(df, "ts", "v", levels=("day", "hour"))
+    # day→week is the sanctioned week shape (week is a leaf)
+    out = time_rollup(df, "ts", "v", levels=("day", "week"))
+    assert {r["level"] for r in out.collect()} == {"day", "week"}
 
 
 # -- deterministic sampling / splits --------------------------------------------------------------------
