@@ -497,10 +497,12 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
-def _sql_minhash_pairs(num_hashes: int = 8, bands: int = 4) -> str:
+def _sql_minhash_banded(num_hashes: int = 8, bands: int = 4) -> str:
+    """Shared banding CTE chain (t → sh → sig → band) for the minhash
+    oracles — one SQL reimplementation, used by both the pair twin and the
+    bucket-audit twin so the two gates can't drift apart."""
     rows = num_hashes // bands
-    return f"""
-WITH t AS (
+    return f"""t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '') AS w
   FROM documents
@@ -521,10 +523,63 @@ WITH t AS (
   SELECT doc_id, b AS band,
          md5(array_to_string(sg[b*{rows}+1 : b*{rows}+{rows}], '|')) AS bucket
   FROM sig, unnest(range(0, {bands})) AS u(b)
+)"""
+
+
+def _sql_minhash_pairs(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = 64
+) -> str:
+    # the sized/ok gate mirrors the engine's _bounded_buckets exactly:
+    # only buckets with 1 < n <= max_bucket contribute pairs, so a future
+    # SF bump that produces an oversized bucket reds out NEITHER engine
+    return f"""
+WITH {_sql_minhash_banded(num_hashes, bands)},
+sized AS (
+  SELECT band, bucket, count(*) AS n FROM band GROUP BY band, bucket
+), ok AS (
+  SELECT band, bucket FROM sized WHERE n > 1 AND n <= {max_bucket}
+), surviving AS (
+  SELECT b.doc_id, b.band, b.bucket FROM band b JOIN ok USING (band, bucket)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+FROM surviving a JOIN surviving b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_bucket_audit(spark, sf_dir):
+    """Bounded-bucket accounting, oracle-checked: per band, how many LSH
+    buckets exist, how many contribute pairs (1 < n <= cap) and how many
+    the gate DROPPED as oversized.  cap=2 is deliberately tiny so the gate
+    provably fires at oracle SF (five size-3 buckets exist at sf0.01) — the dropped count itself is hash-compared,
+    not just unit-tested (VERDICT r2 item 8)."""
+    from patito_spark.operators.dedup import minhash_bucket_audit
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    return minhash_bucket_audit(
+        docs, "doc_id", "text_norm", num_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=2,
+    )
+
+
+def _sql_minhash_bucket_audit(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = 2
+) -> str:
+    return f"""
+WITH {_sql_minhash_banded(num_hashes, bands)},
+sized AS (
+  SELECT band, bucket, count(*) AS n FROM band GROUP BY band, bucket
+)
+SELECT band,
+       count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN n > 1 AND n <= {max_bucket} THEN 1 ELSE 0 END)::BIGINT
+         AS n_pair_buckets,
+       sum(CASE WHEN n > {max_bucket} THEN 1 ELSE 0 END)::BIGINT AS n_oversized
+FROM sized GROUP BY band
 """
 
 
@@ -1025,11 +1080,16 @@ def _hyperplane_literals(planes: int = 8, dim: int = 64) -> list[list[float]]:
     ]
 
 
-def _sql_embedding_near_dups(planes: int = 8, dim: int = 64) -> str:
+def _sql_embedding_near_dups(
+    planes: int = 8, dim: int = 64, max_bucket: int = 256
+) -> str:
     plane_rows = ",\n    ".join(
         "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(x) for x in plane))
         for p, plane in enumerate(_hyperplane_literals(planes, dim))
     )
+    # sized/okb mirrors the engine's _bounded_buckets gate (default
+    # max_bucket_size=256 in embedding_near_duplicates) so an SF where a
+    # hyperplane bucket overflows stays green on both engines
     return f"""
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
@@ -1048,8 +1108,13 @@ WITH corpus AS (
   SELECT vec_id,
          sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS b
   FROM dots GROUP BY vec_id
+), sized AS (
+  SELECT b, count(*) AS n FROM buckets GROUP BY b
+), okb AS (
+  SELECT b FROM sized WHERE n > 1 AND n <= {max_bucket}
 ), withb AS (
-  SELECT c.vec_id, c.embedding, b.b FROM corpus c JOIN buckets b USING (vec_id)
+  SELECT c.vec_id, c.embedding, b.b
+  FROM corpus c JOIN buckets b USING (vec_id) JOIN okb USING (b)
 )
 SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, bb.embedding), 6) AS cosine
@@ -1531,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": q_pii_counts,
         "hash_split": q_hash_split,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk_blockwise": q_embedding_topk_blockwise,
@@ -1580,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts": _sql_pii_counts(),
         "hash_split": _sql_hash_split(),
         "minhash_pairs": _sql_minhash_pairs(),
+        "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "embedding_topk_blockwise": SQL_EMBEDDING_TOPK,

@@ -243,6 +243,34 @@ def _minhash_banded(
     )
 
 
+def minhash_bucket_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Per-band accounting of the bounded-bucket gate.
+
+    One row per band: ``n_buckets`` (distinct buckets), ``n_pair_buckets``
+    (size in (1, max_bucket_size] — these contribute candidate pairs) and
+    ``n_oversized`` (size > max_bucket_size — dropped by the gate, e.g.
+    boilerplate pages hashing to one signature).  Same single shuffle as
+    the pair stage; the output is bands × 4 scalars, driver-sized at any
+    corpus scale.
+    """
+    banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    gate_ok = (F.col("_n") > 1) & (F.col("_n") <= max_bucket_size)
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(gate_ok.cast("long")).alias("n_pair_buckets"),
+        F.sum((F.col("_n") > max_bucket_size).cast("long")).alias("n_oversized"),
+    )
+
+
 def minhash_oversized_buckets(
     df: DataFrame,
     id_col: str,
@@ -253,13 +281,11 @@ def minhash_oversized_buckets(
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> int:
     """How many LSH buckets the pair stage dropped for being oversized."""
-    banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return (
-        banded.groupBy("band", "bucket")
-        .count()
-        .filter(F.col("count") > max_bucket_size)
-        .count()
+    audit = minhash_bucket_audit(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket_size
     )
+    row = audit.agg(F.sum("n_oversized")).first()
+    return int(row[0] or 0)
 
 
 def jaccard_of_pairs(

@@ -212,6 +212,21 @@ def test_oversized_bucket_never_aggregated(spark, docs):
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" in plan and "_bucket_n" in plan
     assert plan.index("collect_list") < plan.index("_bucket_n")
+    # the audit DataFrame agrees with the scalar helper and with the pair
+    # stage: per band, the boilerplate bucket is oversized, the planted-dup
+    # buckets are pair buckets
+    from patito_spark.operators.dedup import minhash_bucket_audit
+
+    audit = {
+        r["band"]: r
+        for r in minhash_bucket_audit(
+            corpus, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=8
+        ).collect()
+    }
+    assert len(audit) == 4
+    assert sum(r["n_oversized"] for r in audit.values()) == dropped
+    assert all(r["n_oversized"] >= 1 for r in audit.values())
+    assert all(r["n_pair_buckets"] >= 1 for r in audit.values())
 
 
 # -- simhash ----------------------------------------------------------------------------------
