@@ -1123,6 +1123,54 @@ WHERE round(list_cosine_similarity(a.embedding, bb.embedding), 6) >= 0.9
 """
 
 
+def q_image_decode_meta(spark, sf_dir):
+    """REAL image decode, oracle-checked: each document's text is turned
+    into a deterministic 4x4 PPM payload (header + 48 md5-derived raster
+    bytes), decoded by the stdlib codec through the production mapInPandas
+    stage, and the (width, height, mode, mean_pixel) the decoder reports is
+    hash-compared against DuckDB computing the same statistics directly
+    from the md5 bytes — so the decode path itself is gated, not stubbed."""
+    from patito_spark.operators.multimodal import decode_image
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payload = F.concat(
+        F.lit(b"P6\n4 4\n255\n"),
+        F.unhex(
+            F.concat(
+                F.md5(F.col("text")),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            )
+        ),
+    )
+    imgs = docs.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    out = decode_image(imgs, "id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "mode",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+# the decoder's mean_pixel over a 4x4 RGB PPM is just the mean of the 48
+# raster bytes — DuckDB re-derives them from the same md5 construction
+SQL_IMAGE_DECODE_META = """
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS hx
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, CAST(i*2+1 AS INTEGER), 2))::INTEGER AS v
+  FROM h, unnest(range(0, 48)) AS u(i)
+)
+SELECT doc_id, 4 AS width, 4 AS height, 'RGB' AS mode,
+       round(avg(v), 6) AS mean_pixel
+FROM b GROUP BY doc_id
+"""
+
+
 def q_multimodal_byte_hist(spark, sf_dir):
     """Arrow-batched byte histogram over binary payloads, exploded to one
     row per (doc, bucket) so every cell is a canonicalizable scalar."""
@@ -1621,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "chi2_drift_by_lang": q_chi2_drift_by_lang,
         "multimodal_byte_hist": q_multimodal_byte_hist,
+        "image_decode_meta": q_image_decode_meta,
         "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
         "ivf_topk": q_ivf_topk,
@@ -1671,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": SQL_CLEAN_CORPUS,
         "chi2_drift_by_lang": SQL_CHI2_DRIFT,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
+        "image_decode_meta": SQL_IMAGE_DECODE_META,
         "embedding_near_dups": _sql_embedding_near_dups(),
         "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,
         "ivf_topk": SQL_IVF_TOPK,

@@ -3,12 +3,12 @@
 Media payloads are opaque ``binary`` columns with a typed metadata struct —
 the north-rule table already carries one (``html binary``).  The Spark-side
 plumbing (schemas, Arrow batch shapes, partition-aware ``mapInPandas``
-stages) is real and tested; the codec step is STUBBED: this container has
-no image/audio libraries, so decode either uses an import-gated real
-library (PIL/soundfile if present) or raises ``NotImplementedError`` —
-except for the deterministic byte-level features, which are genuinely
-computable (and useful: byte histograms catch corrupt/truncated payloads at
-ingest).
+stages) is real and tested.  Image decode is REAL for PPM/BMP/PNG via the
+stdlib codec in ``operators.imagecodec`` (struct+zlib+numpy — no imaging
+library needed); PIL is preferred when importable, adding JPEG etc.  Audio/
+video decode remains stubbed (no codec exists in the stdlib), but the
+deterministic byte-level features are genuinely computable (and useful:
+byte histograms catch corrupt/truncated payloads at ingest).
 
 Batch-shape contract for every stage here: input Arrow batches of
 ``(id, payload binary, ...)``; output one row per input row (feature
@@ -85,52 +85,82 @@ def byte_histogram(
     return df.select(id_col, payload_col).mapInPandas(_hist, out_schema)
 
 
+#: decode_image output: one row per payload, NULL decode fields + the error
+#: string for undecodable rows (a 100 TB decode stage must not die on one
+#: corrupt page — route failures to a quarantine filter instead)
+DECODE_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
 def decode_image(
     df: DataFrame, id_col: str, payload_col: str, resize: Optional[tuple] = None
 ) -> DataFrame:
-    """Decode image payloads → (id, width, height, mean_pixel).
+    """Decode image payloads → (id, width, height, mode, mean_pixel).
 
-    Import-gated on PIL; raises ``NotImplementedError`` when no codec is
-    available (this sandbox).  The mapInPandas plumbing below is the real
-    production shape — swap the inner loop's decoder only.
+    REAL decode, no imaging library required: PPM/BMP/PNG are handled by
+    the stdlib codec (``operators.imagecodec``, struct+zlib+numpy); when
+    PIL *is* importable it is preferred, which adds JPEG and friends.
+    Rows the active decoder can't handle get NULL fields plus a
+    ``decode_error`` string — never a task failure.  ``resize`` is
+    nearest-neighbor in the stdlib path, PIL's default filter otherwise.
     """
-    try:
-        from PIL import Image  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover - no PIL in this container
-        raise NotImplementedError(
-            "decode_image requires Pillow, which is not available in this "
-            "environment. The Spark plumbing (schema, batching, partitioning) "
-            "is exercised via byte_histogram/fake_image_features instead."
-        ) from exc
+    try:  # pragma: no cover - PIL absent in this container
+        import io  # noqa: PLC0415
 
-    import io  # noqa: PLC0415
-    import numpy as np  # noqa: PLC0415
+        from PIL import Image  # noqa: PLC0415
+
+        def _open(payload: bytes) -> tuple:
+            img = Image.open(io.BytesIO(payload))
+            if resize:
+                img = img.resize(resize)
+            import numpy as np  # noqa: PLC0415
+
+            return img.width, img.height, img.mode, np.asarray(img)
+
+    except ImportError:
+        from .imagecodec import decode_image_bytes, resize_nearest  # noqa: PLC0415
+
+        def _open(payload: bytes) -> tuple:
+            width, height, mode, px = decode_image_bytes(payload)
+            if resize:
+                px = resize_nearest(px, resize)
+                height, width = px.shape[:2]
+            return width, height, mode, px
+
     import pandas as pd  # noqa: PLC0415
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("mean_pixel", T.DoubleType()),
-        ]
-    )
-
-    def _decode(batches: Iterator) -> Iterator:  # pragma: no cover
+    def _decode(batches: Iterator) -> Iterator:
         for pdf in batches:
-            rows = {"id": [], "width": [], "height": [], "mean_pixel": []}
+            rows = {
+                "id": [], "width": [], "height": [],
+                "mode": [], "mean_pixel": [], "decode_error": [],
+            }
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = Image.open(io.BytesIO(payload))
-                if resize:
-                    img = img.resize(resize)
-                arr = np.asarray(img, dtype="float64")
                 rows["id"].append(i)
-                rows["width"].append(img.width)
-                rows["height"].append(img.height)
-                rows["mean_pixel"].append(float(arr.mean()))
+                try:
+                    width, height, mode, px = _open(payload)
+                    rows["width"].append(width)
+                    rows["height"].append(height)
+                    rows["mode"].append(mode)
+                    rows["mean_pixel"].append(float(px.astype("float64").mean()))
+                    rows["decode_error"].append(None)
+                except (ValueError, OSError) as exc:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mode"].append(None)
+                    rows["mean_pixel"].append(None)
+                    rows["decode_error"].append(str(exc)[:200])
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(_decode, out_schema)
+    return df.select(id_col, payload_col).mapInPandas(_decode, DECODE_IMAGE_SCHEMA)
 
 
 def fake_image_features(

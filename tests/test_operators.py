@@ -742,15 +742,156 @@ def test_byte_histogram(spark, media):
     assert sum(out[3]["hist"]) == 0
 
 
-def test_decode_image_stub_raises(spark, media):
-    try:
-        import PIL  # noqa: F401
+def _make_ppm(px):
+    import numpy as np
 
-        pytest.skip("PIL present; stub path not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image(media, "id", "payload")
+    h, w = px.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + np.asarray(px, dtype=np.uint8).tobytes()
+
+
+def _make_bmp(px, top_down=False):
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    bgr = px[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]
+    row = w * 3
+    pad = (-row) % 4
+    raster = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return header + raster
+
+
+def _make_png(px, filters=None):
+    """Minimal PNG encoder for tests: 8-bit RGB, one chosen filter per
+    scanline (exercises the decoder's unfilter paths, incl. Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    filters = filters or [0] * h
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        for x in range(w * 3):
+            left = int(line[x - 3]) if x >= 3 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - left
+            elif f == 2:
+                v = line[x] - up
+            elif f == 3:
+                v = line[x] - ((left + up) >> 1)
+            else:
+                v = line[x] - paeth(left, up, ul)
+            raw.append(int(v) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _test_pixels():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+
+
+def test_imagecodec_roundtrip_all_formats():
+    # pure-python decode parity: the same pixels survive PPM, BMP (both row
+    # orders) and PNG under every scanline filter type
+    import numpy as np
+
+    from patito_spark.operators.imagecodec import decode_image_bytes
+
+    px = _test_pixels()
+    for payload in (
+        _make_ppm(px),
+        _make_bmp(px),
+        _make_bmp(px, top_down=True),
+        _make_png(px, filters=[0, 1, 2, 3, 4]),
+        _make_png(px, filters=[4, 3, 2, 1, 0]),
+    ):
+        w, h, mode, got = decode_image_bytes(payload)
+        assert (w, h, mode) == (4, 5, "RGB")
+        assert np.array_equal(got, px)
+
+
+def test_imagecodec_rejects_garbage():
+    import pytest as _pytest
+
+    from patito_spark.operators.imagecodec import decode_image_bytes
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        decode_image_bytes(b"JFIF not really" * 4)
+    with _pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_image_bytes(_make_ppm(_test_pixels())[:-10])
+
+
+def test_decode_image_real_stdlib_path(spark):
+    # the REAL mapInPandas decode stage, no PIL installed: synthesized
+    # PPM/BMP/PNG payloads decode to identical metadata; a corrupt payload
+    # yields NULL fields + decode_error instead of a task failure
+    import numpy as np
+
+    px = _test_pixels()
+    rows = [
+        (1, _make_ppm(px)),
+        (2, _make_bmp(px)),
+        (3, _make_png(px, filters=[0, 1, 2, 3, 4])),
+        (4, b"\x00garbage payload"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in decode_image(df, "id", "payload").collect()}
+    want_mean = float(px.astype("float64").mean())
+    for i in (1, 2, 3):
+        assert (out[i]["width"], out[i]["height"], out[i]["mode"]) == (4, 5, "RGB")
+        assert abs(out[i]["mean_pixel"] - want_mean) < 1e-12
+        assert out[i]["decode_error"] is None
+    assert out[4]["width"] is None and "unrecognized" in out[4]["decode_error"]
+    # resize through the same path: 4x5 -> 2x2 nearest
+    resized = {
+        r["id"]: r
+        for r in decode_image(df, "id", "payload", resize=(2, 2)).collect()
+    }
+    small = px[np.arange(2) * 5 // 2][:, np.arange(2) * 4 // 2]
+    assert (resized[1]["width"], resized[1]["height"]) == (2, 2)
+    assert abs(resized[1]["mean_pixel"] - float(small.astype("float64").mean())) < 1e-12
 
 
 def test_fake_image_features_deterministic(spark, media):
