@@ -23,14 +23,27 @@ Execution plan per run (SURVEY §4.3):
    with the same checkpoint directory skips finished partitions (idempotent
    resume).
 
-Resume caveat (inherent to partition-granular restarts): uniqueness is a
-*global* property, but finished partitions are not re-scanned on resume, so
-a duplicate group spanning a finished and a pending partition is charged
-only to the pending side in the resumed run.  For an exact global verdict
-after a partial history, run the standalone
-:func:`patito_spark.plans.uniqueness.duplicate_stats` over the full table
-(one extra shuffle-light job) — the checkpointed per-partition verdicts
-stay valid for every other check.
+Resume and global uniqueness: uniqueness is a *global* property, but
+finished partitions are not re-scanned on resume.  Two modes:
+
+- ``unique_resume="local"`` (default): a duplicate group spanning a
+  finished and a pending partition is charged only to the pending side —
+  cheap, and exact whenever runs don't split duplicate groups.
+- ``unique_resume="exact"``: every run persists its per-(partition,
+  column, key-hash) local counts to a third checkpoint dataset
+  (``unique_partials``).  A resumed run merges the pending partitions'
+  fresh partials with the persisted ones — no finished partition is
+  re-scanned — charges pending partitions against the *merged* totals,
+  and emits retroactive delta violation rows for finished partitions
+  whose members joined a cross-boundary duplicate group.  The cumulative
+  violation table therefore always equals what one uninterrupted run
+  would have produced.  Cost: the partials dataset is O(distinct keys)
+  (16-byte md5 per key — the one checkpoint artifact that scales with
+  data, which is inherent to exact cross-run uniqueness), and each
+  resumed run re-shuffles it once.  Crash-safe: partials are written
+  *before* verdicts and are only trusted when their (partition, run_id)
+  matches a persisted verdict, so a run killed between the two writes
+  re-runs cleanly without double-counting.
 
 Checkpoint storage is a parquet directory pair (``verdicts/``,
 ``violations/``) written with dynamic partition append — the layout is
@@ -71,6 +84,19 @@ VERDICT_SCHEMA = T.StructType(
 #: lineage cap — at web scale one partition can span thousands of files;
 #: the verdict row keeps a bounded sorted sample
 _LINEAGE_FILE_CAP = 64
+
+#: exact-resume partials: one row per (partition, unique column, key hash)
+#: with its local member count.  Hashes, never raw key values, are
+#: persisted — bounded width and no payload leakage into the checkpoint.
+UNIQUE_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("key_hash", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+    ]
+)
 
 VIOLATION_SCHEMA = T.StructType(
     [
@@ -122,7 +148,11 @@ class ValidationRunner:
         partition_col,
         checkpoint_dir: Optional[str] = None,
         checkpoint_table: Optional[str] = None,
+        unique_resume: str = "local",
     ) -> None:
+        if unique_resume not in ("local", "exact"):
+            raise ValueError("unique_resume must be 'local' or 'exact'")
+        self.unique_resume = unique_resume
         self.model = model
         if isinstance(partition_col, tuple):
             self.partition_name, self.partition_expr = partition_col
@@ -162,6 +192,53 @@ class ValidationRunner:
             r["partition"]
             for r in verdicts.select("partition").distinct().collect()
         }
+
+    def _read_unique_partials(self, spark: SparkSession) -> Optional[DataFrame]:
+        """Persisted partials from FINISHED runs only.
+
+        A partials row is trusted iff its (partition, run_id) matches a
+        persisted verdict — partials are written before verdicts, so a
+        crash between the two writes leaves orphan rows that a re-run of
+        the partition would otherwise double-count.
+        """
+        raw = None
+        if self.checkpoint_table:
+            name = f"{self.checkpoint_table}_unique_partials"
+            if spark.catalog.tableExists(name):
+                raw = spark.table(name)
+        elif self.checkpoint_dir:
+            try:
+                raw = spark.read.parquet(f"{self.checkpoint_dir}/unique_partials")
+            except Exception:
+                raw = None
+        verdicts = self._read_verdicts(spark)
+        if raw is None or verdicts is None:
+            return None
+        keys = verdicts.select("partition", "run_id").distinct()
+        # eqNullSafe: the NULL partition's partials must survive the join
+        cond = raw["partition"].eqNullSafe(keys["partition"]) & (
+            raw["run_id"] == keys["run_id"]
+        )
+        return raw.join(keys, cond, "left_semi")
+
+    def _persist_unique_partials(self, partials: DataFrame, run_id: str) -> None:
+        """Distributed append of this run's partials (NEVER collected —
+        the partials dataset is O(distinct keys), not driver-sized)."""
+        out = partials.select(
+            F.col("_p").alias("partition"),
+            F.col("k").alias("column"),
+            F.col("h").alias("key_hash"),
+            F.col("cnt"),
+            F.lit(run_id).alias("run_id"),
+        )
+        if self.checkpoint_table:
+            from ..sources.io import write_report_table
+
+            write_report_table(out, f"{self.checkpoint_table}_unique_partials")
+        elif self.checkpoint_dir:
+            out.write.mode("append").parquet(
+                f"{self.checkpoint_dir}/unique_partials"
+            )
 
     def _persist(
         self, spark: SparkSession, verdicts: list, violations: list
@@ -314,13 +391,55 @@ class ValidationRunner:
 
         # Job 2: uniqueness with per-partition attribution — each partition
         # is charged its own members of globally-duplicated groups
+        retro_violations: list = []
         if ctx.unique_targets:
-            for (p, loc), count in _attributed_duplicates(
-                df, part, ctx.unique_targets
-            ).items():
-                per_partition_errors.setdefault(p, []).append(
-                    _dup_error(loc, count)
-                )
+            partials = _unique_partials(df, part, ctx.unique_targets)
+            if self.unique_resume == "exact":
+                prior = self._read_unique_partials(spark)
+                if prior is not None:
+                    prior = prior.select(
+                        F.col("partition").alias("_p"),
+                        F.col("column").alias("k"),
+                        F.col("key_hash").alias("h"),
+                        "cnt",
+                    ).persist()
+                    merged_charge = _charge(partials.unionByName(prior))
+                    prior_charge = _charge(prior)
+                    prior.unpersist()
+                else:
+                    merged_charge, prior_charge = _charge(partials), {}
+                # write partials BEFORE verdicts: a crash between the two
+                # leaves orphan partials that _read_unique_partials ignores
+                self._persist_unique_partials(partials, run_id)
+                pending_parts = set(per_partition_errors)
+                for (p, loc), count in merged_charge.items():
+                    if p in pending_parts:
+                        per_partition_errors[p].append(_dup_error(loc, count))
+                    else:
+                        # finished partition retroactively joined a
+                        # cross-boundary duplicate group: emit the DELTA so
+                        # the cumulative violation table equals what one
+                        # uninterrupted run would have charged
+                        delta = count - prior_charge.get((p, loc), 0)
+                        if delta > 0:
+                            err = _dup_error(loc, delta)
+                            retro_violations.append(
+                                {
+                                    "partition": p,
+                                    "column": err.loc_tuple()[0],
+                                    "error_type": get_exc_type(
+                                        err.exc.__class__
+                                    ),
+                                    "message": str(err.exc),
+                                    "violation_count": delta,
+                                    "run_id": run_id,
+                                }
+                            )
+            else:
+                for (p, loc), count in _charge(partials).items():
+                    per_partition_errors.setdefault(p, []).append(
+                        _dup_error(loc, count)
+                    )
 
         finished_at = time.time()
         for p, errs in per_partition_errors.items():
@@ -351,6 +470,7 @@ class ValidationRunner:
                 }
             )
 
+        violations.extend(retro_violations)
         self._persist(spark, verdicts, violations)
         # None (the null partition's checkpoint key) sorts first
         skipped = sorted(finished, key=lambda p: (p is not None, p))
@@ -377,17 +497,13 @@ def _dup_error(loc: str, count: int):
     )
 
 
-def _attributed_duplicates(
-    df: DataFrame, part, targets: list
-) -> dict:
-    """Per-(partition, column) duplicate-member counts, one scan.
+def _unique_partials(df: DataFrame, part, targets: list) -> DataFrame:
+    """Per-(partition, column, key) local member counts — one scan.
 
-    Stage 1 (salted by partition column itself + map partition id):
-    ``groupBy(column, value, partition)`` partial counts.  Stage 2 computes
-    global per-(column, value) totals with a window-free self-aggregation,
-    then each partition is charged its local member count whenever the
-    global total exceeds 1 — cross-partition duplicates are attributed to
-    every partition that holds a member.
+    Stage 1 (salted by the partition column itself + key value):
+    ``groupBy(column, value, partition)`` partial counts; the key value is
+    then md5-hashed (post-agg, so the shuffle groups on exact values) into
+    a 16-byte persistable digest.  Output columns: ``_p, k, h, cnt``.
     """
     pairs = F.array(
         *[F.struct(key.alias("k"), value.alias("v")) for _, key, value in targets]
@@ -396,15 +512,32 @@ def _attributed_duplicates(
         part.alias("_p"), F.explode(pairs).alias("pair")
     ).select("_p", F.col("pair.k").alias("k"), F.col("pair.v").alias("v"))
     exploded = exploded.filter(F.col("k").isNotNull())
-    local = exploded.groupBy("k", "v", "_p").agg(
-        F.count(F.lit(1)).alias("local_cnt")
+    return (
+        exploded.groupBy("k", "v", "_p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "_p",
+            "k",
+            # to_json(struct(v)) serializes ANY key dtype deterministically
+            # (NULL keys collapse to '{}' — null==null for uniqueness, same
+            # as the raw-value grouping this replaces)
+            F.md5(F.to_json(F.struct("v"))).alias("h"),
+            "cnt",
+        )
     )
-    totals = local.groupBy("k", "v").agg(F.sum("local_cnt").alias("total"))
+
+
+def _charge(partials: DataFrame) -> dict:
+    """Each partition is charged its local member count of every
+    (column, key) group whose GLOBAL total exceeds 1 — cross-partition
+    duplicates are attributed to every partition that holds a member.
+    Output is driver-sized: one entry per (partition, column)."""
+    totals = partials.groupBy("k", "h").agg(F.sum("cnt").alias("total"))
     charged = (
-        local.join(totals, ["k", "v"])
+        partials.join(totals, ["k", "h"])
         .filter(F.col("total") > 1)
         .groupBy("_p", "k")
-        .agg(F.sum("local_cnt").alias("dups"))
+        .agg(F.sum("cnt").alias("dups"))
         .collect()
     )
     return {(r["_p"], r["k"]): int(r["dups"]) for r in charged}

@@ -4,6 +4,7 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 import patito_spark as pt
 from patito_spark.plans.runner import ValidationRunner
@@ -265,6 +266,110 @@ def test_runner_attributes_cross_partition_duplicates(spark, tmp_path):
     # partition 0 holds 1 member of the cross-partition group {u=1};
     # partition 1 holds the other member plus both members of {u=2}
     assert dup == {"0": 1, "1": 3}
+
+
+def test_runner_exact_unique_resume_matches_uninterrupted(spark, tmp_path):
+    """Kill-and-resume with unique_resume='exact': the cumulative violation
+    table must equal one uninterrupted run's — WITHOUT rescanning finished
+    partitions (the delta for the finished side comes from persisted
+    key-hash partials alone)."""
+
+    class M(pt.Model):
+        p: int
+        u: int = pt.Field(unique=True)
+
+    # u=1 spans partitions 0 and 2 (cross-boundary group split across the
+    # interrupted and resumed halves); u=2 duplicates inside partition 1
+    rows = [(0, 1), (0, 7), (1, 2), (1, 2), (2, 1), (2, 9)]
+    df = spark.createDataFrame(rows, "p int, u int")
+
+    def dup_counts(violations):
+        out: dict = {}
+        for v in violations:
+            if v["column"] == "u":
+                out[v["partition"]] = out.get(v["partition"], 0) + v["violation_count"]
+        return out
+
+    # ground truth: one uninterrupted run
+    full = ValidationRunner(
+        M, "p", checkpoint_dir=str(tmp_path / "full"), unique_resume="exact"
+    ).run(df)
+    truth = dup_counts(full.violations)
+    assert truth == {"0": 1, "1": 2, "2": 1}
+
+    # interrupted: run 1 sees partitions {0, 1} only, then "dies"
+    ckpt = str(tmp_path / "resume")
+    r1 = ValidationRunner(
+        M, "p", checkpoint_dir=ckpt, unique_resume="exact"
+    ).run(df.filter(F.col("p") < 2))
+    assert dup_counts(r1.violations) == {"1": 2}  # u=1 not yet duplicated
+
+    # resume with ONLY the pending half of the data on disk-equivalent:
+    # partition 2's scan plus partition 0's persisted partials must
+    # reconstruct the cross-boundary group
+    runner2 = ValidationRunner(
+        M, "p", checkpoint_dir=ckpt, unique_resume="exact"
+    )
+    r2 = runner2.run(df)
+    assert r2.skipped_partitions == ["0", "1"]
+    assert [v["partition"] for v in r2.verdicts] == ["2"]
+    # run 2 emitted partition 2's charge AND a retroactive delta for the
+    # finished partition 0
+    assert dup_counts(r2.violations) == {"0": 1, "2": 1}
+    # cumulative checkpoint == uninterrupted run
+    persisted = runner2.report(spark).filter(F.col("column") == "u").collect()
+    assert dup_counts([r.asDict() for r in persisted]) == truth
+    # a third run changes nothing (no double-charging on repeated resume)
+    r3 = ValidationRunner(
+        M, "p", checkpoint_dir=ckpt, unique_resume="exact"
+    ).run(df)
+    assert dup_counts(r3.violations) == {}
+    persisted = ValidationRunner(
+        M, "p", checkpoint_dir=ckpt, unique_resume="exact"
+    ).report(spark).filter(F.col("column") == "u").collect()
+    assert dup_counts([r.asDict() for r in persisted]) == truth
+
+
+def test_runner_exact_resume_ignores_orphan_partials(spark, tmp_path):
+    """Crash between the partials write and the verdict write: the orphan
+    partials (run_id with no matching verdict) must not double-count when
+    the partition re-runs."""
+
+    class M(pt.Model):
+        p: int
+        u: int = pt.Field(unique=True)
+
+    df = spark.createDataFrame([(0, 1), (1, 1)], "p int, u int")
+    ckpt = str(tmp_path / "orphan")
+    runner = ValidationRunner(M, "p", checkpoint_dir=ckpt, unique_resume="exact")
+    # simulate the torn write: persist partials for partition 0 under a
+    # run_id that never got a verdict
+    from patito_spark.plans.checks import _Ctx, _compile_level
+    from patito_spark.plans.runner import _unique_partials
+
+    half = df.filter(F.col("p") == 0)
+    ctx = _Ctx()
+    _compile_level(
+        ctx=ctx, errors=[], specs=M.__column_specs__,
+        model_config=M.model_config, df_columns=["p", "u"],
+        df_types={"p": T.IntegerType(), "u": T.IntegerType()},
+        columns=None, allow_missing_columns=False,
+        allow_superfluous_columns=False, path="", loc="", guard=None,
+    )
+    runner._persist_unique_partials(
+        _unique_partials(half, F.col("p").cast("string"), ctx.unique_targets),
+        "dead-run",
+    )
+    # real run over everything: partition 0 re-runs (no verdict exists);
+    # its fresh partials + partition 1's must charge u=1 exactly once per
+    # member — the orphan 'dead-run' rows are ignored
+    result = runner.run(df)
+    dup = {
+        v["partition"]: v["violation_count"]
+        for v in result.violations
+        if v["column"] == "u"
+    }
+    assert dup == {"0": 1, "1": 1}
 
 
 # -- referential integrity -------------------------------------------------------
