@@ -10,6 +10,7 @@ both sides.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import sys
 from collections.abc import Callable
@@ -242,6 +243,43 @@ def q_fill_null_defaults(spark, sf_dir):
 SQL_FILL_NULL = """
 SELECT doc_id, COALESCE(NULLIF(lang, 'en'), 'unknown') AS maybe_lang
 FROM documents
+"""
+
+
+def q_fill_null_forward(spark, sf_dir):
+    """Ordered forward fill (pandas ffill / polars fill_null('forward')
+    semantics) over an explicit per-user event ordering: every 5th event's
+    value is masked NULL, then recovered from the user's previous event.
+    (event_id is the tiebreaker — equal timestamps would otherwise make
+    the fill order engine-dependent.)"""
+    import patito_spark as pt
+
+    class E(pt.Model):
+        event_id: int
+        user_id: int
+        ts: dt.datetime
+        value: Optional[float]
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("value"),
+    )
+    filled = E.DataFrame(ev).fill_null(
+        strategy="forward", order_by=["ts", "event_id"], partition_by="user_id"
+    )
+    return filled.as_spark().select(
+        "event_id", F.round("value", 6).alias("value_filled")
+    )
+
+
+SQL_FILL_NULL_FORWARD = """
+SELECT event_id,
+       round(last_value(CASE WHEN event_id % 5 <> 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 6) AS value_filled
+FROM events
 """
 
 
@@ -1634,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_report": q_validation_report,
         "derive_columns": q_derive_columns,
         "fill_null_defaults": q_fill_null_defaults,
+        "fill_null_forward": q_fill_null_forward,
         "cast_columns": q_cast_columns,
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup_stats": q_exact_dedup_stats,
@@ -1685,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "validation_report": SQL_VALIDATION_REPORT,
         "derive_columns": SQL_DERIVE_COLUMNS,
         "fill_null_defaults": SQL_FILL_NULL,
+        "fill_null_forward": SQL_FILL_NULL_FORWARD,
         "cast_columns": SQL_CAST_COLUMNS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "exact_dedup_stats": SQL_EXACT_DEDUP_STATS,
