@@ -941,6 +941,54 @@ FROM ev e JOIN iv2 i
 """
 
 
+def q_session_window_stats(spark, sf_dir):
+    """Spark's NATIVE session_window (the streaming-ready sessionization
+    path, run here in batch mode) against a DuckDB gaps-and-islands twin
+    with the matching half-open boundary (new session at gap >= 30 min,
+    where the batch operator uses > — the one documented semantic
+    difference between the two).  Bounds are epoch-microsecond integers so
+    the hash can't flake on timestamp formatting."""
+    from patito_spark.streaming.sessions import sessionize_stream
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = sessionize_stream(events, "user_id", "ts", "30 minutes", None)
+    # the parquet column is TIMESTAMP_NTZ; cast before unix_micros (the
+    # gate session pins spark.sql.session.timeZone=UTC, so the cast is
+    # deterministic and equals DuckDB's epoch_us of the naive value)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events",
+    )
+
+
+SQL_SESSION_WINDOW_STATS = """
+WITH ev AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS starts_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), seq AS (
+  SELECT user_id, ts,
+         sum(starts_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts))::BIGINT AS start_us,
+       (epoch_us(max(ts)) + 1800000000)::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events
+FROM seq GROUP BY user_id, sid
+"""
+
+
 def q_session_stats(spark, sf_dir):
     """Gaps-and-islands sessionization of the events table (30-min gap):
     per-session event counts and durations, hash-checked against a lag +
@@ -1695,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "asof_join": q_asof_join,
         "session_stats": q_session_stats,
+        "session_window_stats": q_session_window_stats,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "pricing_summary": q_pricing_summary,
@@ -1747,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "asof_join": SQL_ASOF_JOIN,
         "session_stats": SQL_SESSION_STATS,
+        "session_window_stats": SQL_SESSION_WINDOW_STATS,
         "range_join": SQL_RANGE_JOIN,
         "time_rollup": SQL_TIME_ROLLUP,
         "pricing_summary": SQL_PRICING_SUMMARY,

@@ -184,3 +184,114 @@ def test_running_column_stats_state(spark, tmp_path):
     m0, m1 = by_key[0]["mean"], by_key[1]["mean"]
     assert abs(abs(m1 - m0) - 1.0) < 2.0  # loose: stream cut mid-batch
     assert all(r["nulls"] == 0 for r in rows)
+
+
+def test_sessionize_stream_batch_parity(spark):
+    """The native session_window path agrees with the batch gaps-and-islands
+    operator on session count, membership, and bounds (no event lands on an
+    exact-gap boundary — the one documented semantic difference)."""
+    import random
+
+    from patito_spark.operators.sessions import sessionize
+    from patito_spark.streaming import sessionize_stream
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for user in range(6):
+        t = base + dt.timedelta(seconds=rng.randint(0, 100))
+        for _ in range(rng.randint(5, 40)):
+            # gaps straddle the 300s threshold but never hit it exactly
+            t += dt.timedelta(seconds=rng.choice([3, 17, 61, 299, 301, 900]))
+            rows.append((user, t))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    batch = sessionize(df, "user_id", "ts", gap_seconds=300)
+    want = {
+        (r["user_id"], r["session_seq"]): (r["n"], r["t0"], r["t1"])
+        for r in batch.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .collect()
+    }
+    got = sessionize_stream(
+        df, "user_id", "ts", "300 seconds", None,
+        F.min("ts").alias("t0"), F.max("ts").alias("t1"),
+    )
+    got_rows = got.collect()
+    assert len(got_rows) == len(want)
+    # same sessions: match on (user, first-event ts) and compare size/bounds
+    by_start = {(r["user_id"], r["t0"]): r for r in got_rows}
+    for (user, _), (n, t0, t1) in want.items():
+        g = by_start[(user, t0)]
+        assert g["n_events"] == n and g["t1"] == t1
+        # session_window end = last event + gap (half-open close)
+        assert g["session_end"] == t1 + dt.timedelta(seconds=300)
+
+
+def test_sessionize_stream_watermarked_append(spark, tmp_path):
+    """Real streaming run: sessions emit exactly once, only after the
+    watermark passes their close — fed via a parquet file stream in two
+    batches, the second advancing event time far enough to flush the
+    first's sessions."""
+    from patito_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sessions")
+    schema = "user_id long, ts timestamp"
+    base = dt.datetime(2024, 3, 1)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # user 1: two sessions (gap 20 min > 5 min); user 2: one session
+    feed(
+        [
+            (1, base),
+            (1, base + dt.timedelta(minutes=1)),
+            (1, base + dt.timedelta(minutes=21)),
+            (2, base + dt.timedelta(minutes=2)),
+        ]
+    )
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = sessionize_stream(stream, "user_id", "ts", "5 minutes", "10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_batch()
+    # batch 1's watermark = max(ts) - 10min = base+11min: it passes the
+    # closes of user 1's FIRST session (base+6min) and user 2's (base+7min)
+    # but not user 1's second session (base+26min) — exactly two emitted
+    first = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert first == {(1, base): 2, (2, base + dt.timedelta(minutes=2)): 1}
+    feed([(9, base + dt.timedelta(hours=3))])  # advances watermark
+    run_batch()
+    rows = spark.read.parquet(sink).collect()
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in rows
+    }
+    assert got == {
+        (1, base): 2,
+        (1, base + dt.timedelta(minutes=21)): 1,
+        (2, base + dt.timedelta(minutes=2)): 1,
+    }
