@@ -907,3 +907,118 @@ def test_frame_sample_fanout(spark, media):
     assert counts[1] == 4
     one = frames.filter((F.col("id") == 1)).collect()
     assert all(len(r["frame_bytes"]) == 64 for r in one)
+
+
+# -- property-based (hypothesis) ----------------------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    import numpy as np
+
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    data = draw(
+        st.lists(st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3)
+    )
+    px = np.array(data, dtype=np.uint8).reshape(h, w, 3)
+    filters = draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    return px, filters
+
+
+@given(_images())
+@settings(max_examples=60, deadline=None)
+def test_imagecodec_property_roundtrip(img):
+    # ANY pixel content, ANY shape, ANY per-scanline filter mix survives
+    # encode->decode bit-exactly in all three formats (pure python+numpy,
+    # no Spark per example)
+    import numpy as np
+
+    from patito_spark.operators.imagecodec import decode_image_bytes
+
+    px, filters = img
+    h, w = px.shape[:2]
+    for payload in (
+        _make_ppm(px),
+        _make_bmp(px),
+        _make_bmp(px, top_down=True),
+        _make_png(px, filters=filters),
+    ):
+        got_w, got_h, mode, got = decode_image_bytes(payload)
+        assert (got_w, got_h, mode) == (w, h, "RGB")
+        assert np.array_equal(got, px)
+
+
+@given(_images(), st.integers(1, 10), st.integers(1, 10))
+@settings(max_examples=40, deadline=None)
+def test_imagecodec_property_resize(img, new_w, new_h):
+    # nearest-neighbor resize: every output pixel is SOME input pixel from
+    # the floor-mapped source row/col
+    import numpy as np
+
+    from patito_spark.operators.imagecodec import resize_nearest
+
+    px, _ = img
+    h, w = px.shape[:2]
+    out = resize_nearest(px, (new_w, new_h))
+    assert out.shape == (new_h, new_w, 3)
+    for y in (0, new_h - 1):
+        for x in (0, new_w - 1):
+            sy, sx = min(y * h // new_h, h - 1), min(x * w // new_w, w - 1)
+            assert np.array_equal(out[y, x], px[sy, sx])
+
+
+@st.composite
+def _asof_case(draw):
+    ts = st.one_of(st.none(), st.integers(0, 20))
+    left = [
+        (i, draw(st.sampled_from(["a", "b"])), draw(ts))
+        for i in range(draw(st.integers(1, 8)))
+    ]
+    # right side unique per (k, t): the operator documents that duplicate
+    # (by, on) right rows tie-break nondeterministically
+    pairs = draw(
+        st.sets(
+            st.tuples(st.integers(0, 20), st.sampled_from(["a", "b"])),
+            max_size=8,
+        )
+    )
+    right = [(t, k, float(j)) for j, (t, k) in enumerate(sorted(pairs))]
+    return left, right
+
+
+@given(_asof_case(), st.sampled_from(["backward", "forward"]))
+@settings(max_examples=12, deadline=None)
+def test_asof_join_property_matches_reference(spark, case, direction):
+    # randomized timestamps incl. NULLs and heavy ties, both directions,
+    # vs a brute-force per-row python oracle
+    from patito_spark.operators.asof import asof_join
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "id long, k string, t long")
+    right = spark.createDataFrame(right_rows, "t long, k string, px double")
+    got = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, on="t", by=["k"], direction=direction).collect()
+    }
+    want = {}
+    for lid, lk, lon in left_rows:
+        cands = [
+            (ron, rv)
+            for ron, rk, rv in right_rows
+            if rk == lk and ron is not None and lon is not None
+            and (ron <= lon if direction == "backward" else ron >= lon)
+        ]
+        if not cands:
+            want[lid] = None
+        elif direction == "backward":
+            best_on = max(c[0] for c in cands)
+            want[lid] = max(c[1] for c in cands if c[0] == best_on)
+        else:
+            best_on = min(c[0] for c in cands)
+            want[lid] = max(c[1] for c in cands if c[0] == best_on)
+    assert got == want
