@@ -535,6 +535,23 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def _sql_md5_slices30() -> str:
+    return ",\n           ".join(
+        f"('0x' || substring(md5(x), {1 + i * 8}, 8))::BIGINT % 1073741824"
+        for i in range(4)
+    )
+
+
+def _sql_minwise_terms(num_hashes: int) -> str:
+    from patito_spark.functions.hashing import MINHASH_P, minhash_constants
+
+    return ",\n          ".join(
+        f"list_min(list_transform(hs, v -> "
+        f"({a} * v[{k % 4 + 1}] + {b} * v[{(k + 1) % 4 + 1}]) % {MINHASH_P}))"
+        for k, (a, b) in enumerate(minhash_constants(num_hashes))
+    )
+
+
 def _sql_minhash_banded(num_hashes: int = 8, bands: int = 4) -> str:
     """Shared banding CTE chain (t → sh → sig → band) for the minhash
     oracles — one SQL reimplementation, used by both the pair twin and the
@@ -552,11 +569,19 @@ def _sql_minhash_banded(num_hashes: int = 8, bands: int = 4) -> str:
               WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
               ELSE [] END AS s
   FROM t
+), hp AS (
+  -- ONE md5 per shingle, four 30-bit slices; hash k is the per-k
+  -- universal multiply-add mod 2^31-1 mirrored from
+  -- functions/hashing.py::md5_slices30 / minhash_constants
+  SELECT doc_id,
+         list_transform(s, x -> [
+           {_sql_md5_slices30()}
+         ]) AS hs
+  FROM sh
 ), sig AS (
   SELECT doc_id,
-         list_transform(range(0, {num_hashes}),
-                        k -> list_min(list_transform(s, x -> md5(x || '#' || k)))) AS sg
-  FROM sh
+         [{_sql_minwise_terms(num_hashes)}] AS sg
+  FROM hp
 ), band AS (
   SELECT doc_id, b AS band,
          md5(array_to_string(sg[b*{rows}+1 : b*{rows}+{rows}], '|')) AS bucket

@@ -133,29 +133,65 @@ def _bounded_buckets(
 def minhash_signature(
     text_col: Column, num_hashes: int = DEFAULT_NUM_HASHES, shingle_n: int = 3
 ) -> Column:
-    """Array of ``num_hashes`` minhash values (md5-hex strings, portable).
+    """Array of ``num_hashes`` minhash values (bigints, engine-portable).
 
-    minhash_i = lexicographic min over shingles of ``md5(shingle + '#i')``
-    — the hex alphabet gives the same total order in every engine.
+    ONE md5 per shingle, not one per (shingle, k): the digest is split
+    into four 30-bit slices and hash k is a per-k universal multiply-add
+    over two of them mod 2^31-1 (``functions.hashing.md5_slices30`` has
+    the family, its measured quality vs alternatives, and the overflow
+    budget).  minhash_k = min over shingles — int64 ordering is identical
+    in every engine, and the md5 basis keeps the pipeline auditable
+    offline.
     """
-    shingles = word_shingles(text_col, n=shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
-            )
-        ),
+    shingles = _shingle_hash_slices(word_shingles(text_col, n=shingle_n))
+    return _minwise_signature(shingles, num_hashes)
+
+
+def _shingle_hash_slices(shingles: Column) -> Column:
+    """array<array<bigint>> — one md5 per shingle, split into the four
+    30-bit mixing slices."""
+    from ..functions.hashing import md5_slices30
+
+    return F.transform(shingles, md5_slices30)
+
+
+def _minwise_signature(hash_slices: Column, num_hashes: int) -> Column:
+    """sig[k] = min over shingles of ``(A_k*x[k%4] + B_k*x[(k+1)%4]) % P``
+    — arithmetic only; the md5 work happened once upstream."""
+    from ..functions.hashing import MINHASH_P, minhash_constants
+
+    consts = minhash_constants(num_hashes)
+
+    def _mix(k: int, a: int, b: int):
+        def inner(x: Column) -> Column:
+            return (
+                F.lit(a).cast("bigint") * F.get(x, k % 4)
+                + F.lit(b).cast("bigint") * F.get(x, (k + 1) % 4)
+            ) % F.lit(MINHASH_P).cast("bigint")
+
+        return inner
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hash_slices, _mix(k, a, b)))
+            for k, (a, b) in enumerate(consts)
+        ]
     )
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH band keys: md5 of each signature slice."""
+    """LSH band keys: md5 of each signature slice (bigints stringified —
+    decimal rendering of int64 is identical in every engine)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
-            F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+            )
         ),
     )
 
@@ -223,17 +259,12 @@ def _minhash_banded(
     staged = _materialize(
         staged, _sh=word_shingles_from_tokens(F.col("_toks"), shingle_n)
     )
+    # ONE md5 per shingle (materialized so the signature lambdas below
+    # reuse it), then num_hashes arithmetic-only combinations — this is the
+    # per-row hot loop at corpus scale, and digest count dominates it
+    staged = _materialize(staged, _hp=_shingle_hash_slices(F.col("_sh")))
     staged = _materialize(
-        staged,
-        _sig=F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
-                )
-            ),
-        ),
+        staged, _sig=_minwise_signature(F.col("_hp"), num_hashes)
     )
     return staged.select(
         "_id",
