@@ -1282,6 +1282,72 @@ FROM b GROUP BY doc_id
 """
 
 
+def _wav_header(n_samples: int, rate: int = 8000) -> bytes:
+    """Canonical 44-byte mono 16-bit PCM WAV header (RIFF spec layout)."""
+    import struct
+
+    data = n_samples * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", data)
+    )
+
+
+def q_audio_decode_meta(spark, sf_dir):
+    """REAL audio decode, oracle-checked: each document's text becomes a
+    deterministic mono 16-bit PCM WAV (canonical 44-byte header + 24
+    md5-derived samples), decoded by the stdlib ``wave`` path through the
+    production mapInPandas stage; DuckDB re-derives the int16 samples from
+    the same hex and recomputes frames/duration/RMS directly."""
+    from patito_spark.operators.multimodal import decode_audio
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    payload = F.concat(
+        F.lit(_wav_header(24)),
+        F.unhex(
+            F.concat(
+                F.md5(F.col("text")),
+                F.md5(F.concat(F.col("text"), F.lit("x"))),
+                F.md5(F.concat(F.col("text"), F.lit("y"))),
+            )
+        ),
+    )
+    wavs = docs.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    out = decode_audio(wavs, "id", "payload")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_channels",
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        "rms",
+    )
+
+
+# int16 LE: sample j = bytes (4j+1..4j+2, 4j+3..4j+4) of the hex string,
+# low byte first; unsigned > 32767 wraps negative.  RMS = sqrt of the exact
+# integer sum of squares / 24 — both engines do the identical IEEE double
+# division + sqrt, then 6 dp rounding (same regime as the cosine gates).
+SQL_AUDIO_DECODE_META = """
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS hx
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, CAST(j*4+3 AS INTEGER), 2)
+                || substring(hx, CAST(j*4+1 AS INTEGER), 2))::INTEGER AS u
+  FROM h, unnest(range(0, 24)) AS t(j)
+), sv AS (
+  SELECT doc_id, CASE WHEN u > 32767 THEN u - 65536 ELSE u END AS v FROM s
+)
+SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate, 24::BIGINT AS n_frames,
+       3::BIGINT AS duration_ms,
+       round(sqrt(sum(v::BIGINT * v)::DOUBLE / 24), 6) AS rms
+FROM sv GROUP BY doc_id
+"""
+
+
 def q_multimodal_byte_hist(spark, sf_dir):
     """Arrow-batched byte histogram over binary payloads, exploded to one
     row per (doc, bucket) so every cell is a canonicalizable scalar."""
@@ -1783,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift_by_lang": q_chi2_drift_by_lang,
         "multimodal_byte_hist": q_multimodal_byte_hist,
         "image_decode_meta": q_image_decode_meta,
+        "audio_decode_meta": q_audio_decode_meta,
         "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
         "ivf_topk": q_ivf_topk,
@@ -1836,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_drift_by_lang": SQL_CHI2_DRIFT,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
         "image_decode_meta": SQL_IMAGE_DECODE_META,
+        "audio_decode_meta": SQL_AUDIO_DECODE_META,
         "embedding_near_dups": _sql_embedding_near_dups(),
         "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,
         "ivf_topk": SQL_IVF_TOPK,

@@ -1022,3 +1022,40 @@ def test_asof_join_property_matches_reference(spark, case, direction):
             best_on = min(c[0] for c in cands)
             want[lid] = max(c[1] for c in cands if c[0] == best_on)
     assert got == want
+
+
+def test_decode_audio_real_wav_path(spark):
+    # REAL stdlib WAV decode through mapInPandas: known int16 samples give
+    # exact frame counts and RMS; corrupt payloads quarantine, never fail
+    import io
+    import wave
+
+    import numpy as np
+
+    from patito_spark.operators.multimodal import decode_audio
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 5], dtype="<i2")
+
+    def make_wav(nch=1, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav()),
+        (2, make_wav(nch=2, rate=16000)),
+        (3, b"ID3not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in decode_audio(df, "id", "payload").collect()}
+    want_rms = round(float(np.sqrt((samples.astype("float64") ** 2).mean())), 6)
+    assert (out[1]["n_channels"], out[1]["sample_rate"]) == (1, 8000)
+    assert out[1]["n_frames"] == 6 and out[1]["rms"] == want_rms
+    assert out[1]["duration_ms"] == 0  # 6 frames @ 8 kHz < 1 ms
+    assert (out[2]["n_channels"], out[2]["n_frames"]) == (2, 3)
+    assert out[2]["rms"] == want_rms  # same samples, interleaved as stereo
+    assert out[3]["rms"] is None and out[3]["decode_error"]
