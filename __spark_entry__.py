@@ -782,6 +782,63 @@ WHERE len(list_intersect(a.s, b.s)) /
 """
 
 
+def q_embedding_topk_int8(spark, sf_dir):
+    """Int8-quantized ANN first pass: per-vector symmetric quantization
+    (scales cancel in cosine, so similarity is pure integer dot /
+    integer norms — bit-portable), top-3 per probe.  DuckDB reproduces the
+    quantization arithmetic and the integer cosine exactly."""
+    from patito_spark.operators.similarity import topk_quantized
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return topk_quantized(emb, probes, k=3).select(
+        "probe_id", "neighbor_id", "qcosine", "rank"
+    )
+
+
+SQL_EMBEDDING_TOPK_INT8 = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), m AS (
+  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS mx FROM e
+), qq AS (
+  SELECT vec_id,
+         list_transform(v, x -> greatest(-127, least(127,
+           round(x / (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END))::INTEGER
+         ))) AS q
+  FROM m
+), probes AS (
+  SELECT vec_id AS probe_id, q AS pq FROM qq WHERE vec_id < 5
+), sims AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, 65),
+             i -> c.q[CAST(i AS INTEGER)]::BIGINT * p.pq[CAST(i AS INTEGER)]),
+             (a, b) -> a + b) AS dot,
+         sqrt(list_reduce(list_transform(c.q, x -> x::BIGINT * x),
+             (a, b) -> a + b)::DOUBLE) AS nc,
+         sqrt(list_reduce(list_transform(p.pq, x -> x::BIGINT * x),
+             (a, b) -> a + b)::DOUBLE) AS np_
+  FROM qq c CROSS JOIN probes p
+), scored AS (
+  SELECT probe_id, neighbor_id,
+         round(dot / (CASE WHEN nc > 0 AND np_ > 0 THEN nc * np_
+                           ELSE 1e308 * 10 END), 6) AS qcosine
+  FROM sims
+), ranked AS (
+  SELECT probe_id, neighbor_id, qcosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY qcosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, qcosine, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     from patito_spark.operators.similarity import topk_brute_force
 
@@ -1828,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_blockwise": q_embedding_topk_blockwise,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_int8": q_embedding_topk_int8,
         "stats_profile": q_stats_profile,
         "histogram": q_histogram,
         "ri_orphans": q_ri_orphans,
@@ -1882,6 +1940,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_blockwise": SQL_EMBEDDING_TOPK,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_topk_int8": SQL_EMBEDDING_TOPK_INT8,
         "stats_profile": SQL_STATS_PROFILE,
         "histogram": SQL_HISTOGRAM,
         "ri_orphans": SQL_RI_ORPHANS,

@@ -254,3 +254,97 @@ def ivf_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = round(v_i / s)``
+    with ``s = max(|v|) / 127`` (clipped to [-127, 127]; all-zero vectors
+    get s = 1 so q stays all-zero).
+
+    The 100 TB ANN storage path: int8 vectors are 4x smaller than float32
+    on disk and over the shuffle, and COSINE between quantized vectors
+    needs no dequantization at all — the per-vector scales cancel:
+    ``cos(qa*sa, qb*sb) = dot(qa, qb) / (||qa|| * ||qb||)``.  That also
+    makes every downstream similarity integer-derived, hence bit-portable
+    across engines.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        q_col,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / F.col(scale_col)).cast("int")),
+            ),
+        ),
+    )
+
+
+def topk_quantized(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: ``(probe_id, neighbor_id, qcosine,
+    rank)`` — same shape as ``topk_brute_force``, with the similarity
+    computed entirely in integer arithmetic over quantized vectors
+    (broadcast probes, corpus never shuffles before ranking).
+
+    ``qcosine`` approximates the exact cosine to ~1/127 resolution per
+    component — rank agreement with the float path is high but not exact;
+    use it as the cheap first pass and rescore the top candidates with
+    ``topk_brute_force`` semantics when exactness matters.
+    """
+    qc = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col,
+    )
+    qp = quantize_embeddings(
+        probes.select(F.col(probe_id_col).alias("probe_id"), F.col(vec_col)),
+        vec_col,
+    )
+    c = qc.select("neighbor_id", F.col("q").alias("_cq"))
+    p = F.broadcast(qp.select("probe_id", F.col("q").alias("_pq")))
+    idot = F.aggregate(
+        F.zip_with("_cq", "_pq", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+    def _inorm(col: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: (x * x).cast("long")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    sims = c.crossJoin(p).select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            idot / F.when(
+                (_inorm("_cq") > 0) & (_inorm("_pq") > 0),
+                _inorm("_cq") * _inorm("_pq"),
+            ).otherwise(F.lit(float("inf"))),
+            6,
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1059,3 +1059,39 @@ def test_decode_audio_real_wav_path(spark):
     assert (out[2]["n_channels"], out[2]["n_frames"]) == (2, 3)
     assert out[2]["rms"] == want_rms  # same samples, interleaved as stereo
     assert out[3]["rms"] is None and out[3]["decode_error"]
+
+
+def test_topk_quantized_agrees_with_float_path(spark, embeddings):
+    # int8 quantization: components bounded, dequantized error <= s/2, and
+    # the quantized top-1 neighbor matches the exact float top-1 (self,
+    # cosine 1.0) for every probe; deeper ranks agree to quantization noise
+    from patito_spark.operators.similarity import (
+        quantize_embeddings,
+        topk_brute_force,
+        topk_quantized,
+    )
+
+    emb = embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_embeddings(emb).select("vec_id", "embedding", "q", "q_scale")
+    row = q.first()
+    assert all(-127 <= v <= 127 for v in row["q"])
+    assert all(
+        abs(v - qi * row["q_scale"]) <= row["q_scale"] / 2 + 1e-12
+        for v, qi in zip(row["embedding"], row["q"])
+    )
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in topk_brute_force(emb, probes, k=1).collect()
+    }
+    quant = {
+        r["probe_id"]: r["neighbor_id"]
+        for r in topk_quantized(emb, probes, k=1).collect()
+    }
+    assert exact == quant  # self-neighbor survives quantization
+    top1 = {r["probe_id"]: r["qcosine"] for r in topk_quantized(emb, probes, k=1).collect()}
+    assert all(c > 0.999 for c in top1.values())
