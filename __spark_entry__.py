@@ -1767,6 +1767,83 @@ FROM parsed
 """
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (crawl-dedup identity): uppercase scheme/host,
+    default vs non-default ports, doubled slashes, trailing slashes,
+    tracking params, unsorted params, fragments, and relative references —
+    all synthesized from doc_id so DuckDB applies the identical transform
+    chain and the hash pins every rule."""
+    from patito_spark.functions.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 31 == 0, F.lit("relative/path/only"))
+        .when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("http://Host"), (d % 9).cast("string"),
+                F.lit(".com:8080/a//b"), (d % 7).cast("string"),
+                F.lit("/?q="), (d % 3).cast("string"),
+                F.lit("&utm_source=news#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), (d % 10).cast("string"),
+                F.lit(".COM:443/Path"), (d % 7).cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1&fbclid=z&z="),
+                (d % 3).cast("string"), F.lit("#frag"),
+            )
+        )
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select("doc_id", canonical_url(F.col("url")).alias("canonical"))
+
+
+SQL_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN 'relative/path/only'
+              WHEN doc_id % 5 = 0 THEN
+                'http://Host' || (doc_id % 9) || '.com:8080/a//b' || (doc_id % 7)
+                || '/?q=' || (doc_id % 3) || '&utm_source=news#frag'
+              ELSE
+                'HTTPS://WWW.Example' || (doc_id % 10) || '.COM:443/Path'
+                || (doc_id % 7) || '/?utm_source=x&b=2&a=1&fbclid=z&z='
+                || (doc_id % 3) || '#frag'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS auth,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path_raw,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), norm AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(path_raw, '/{2,}', '/', 'g'), '/+$', '') AS squashed,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(lower(p),
+                  '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid)='))), '&') AS kept
+  FROM parts
+)
+SELECT doc_id,
+       CASE WHEN host IS NULL OR host = '' THEN url
+            ELSE scheme || '://' || host
+                 || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                              OR (scheme = 'https' AND port = '443')
+                         THEN '' ELSE ':' || port END
+                 || CASE WHEN squashed = '' THEN '/' ELSE squashed END
+                 || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+       END AS canonical
+FROM norm
+"""
+
+
 def q_text_parity(spark, sf_dir):
     """North-rule invariant: extracted text byte-identical per key vs a
     reference extraction.  Divergences are planted by construction (same
@@ -1903,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_nation_join": q_customer_nation_join,
         "text_parity": q_text_parity,
         "url_domains": q_url_domains,
+        "url_canonical": q_url_canonical,
         "clean_corpus": q_clean_corpus,
         "chi2_drift_by_lang": q_chi2_drift_by_lang,
         "multimodal_byte_hist": q_multimodal_byte_hist,
@@ -1958,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
         "text_parity": SQL_TEXT_PARITY,
         "url_domains": SQL_URL_DOMAINS,
+        "url_canonical": SQL_URL_CANONICAL,
         "clean_corpus": SQL_CLEAN_CORPUS,
         "chi2_drift_by_lang": SQL_CHI2_DRIFT,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,

@@ -60,3 +60,58 @@ def domain_counts(df, url_col: str) -> "DataFrame":  # noqa: F821
         .agg(F.count(F.lit(1)).cast("long").alias("rows"))
         .orderBy(F.col("rows").desc(), F.col("domain"))
     )
+
+
+#: query parameters that never identify content (analytics/click tracking)
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for crawl dedup / URL-keyed joins.
+
+    Transform (absolute http/https URLs; anything without a host passes
+    through unchanged — relative references have no canonical authority):
+
+    - scheme and host lowercased; userinfo dropped
+    - default ports stripped (http:80, https:443); other ports kept
+    - path: repeated ``/`` collapsed, trailing ``/`` removed, empty → ``/``
+    - query: tracking parameters removed (``utm_*``, fbclid, gclid,
+      msclkid, mc_eid, igshid), remainder sorted bytewise and rejoined;
+      empty query dropped
+    - fragment dropped
+
+    Native Columns only — one projection, no UDF, safe in the scan stage
+    of a 10^12-row pipeline.
+    """
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    authority = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.parse_url(url, F.lit("PATH"))
+    squashed = F.regexp_replace(
+        F.regexp_replace(F.coalesce(raw_path, F.lit("")), "/{2,}", "/"),
+        "/+$",
+        "",
+    )
+    path = F.when(squashed == "", F.lit("/")).otherwise(squashed)
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    query_part = F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept))
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, port_part, path, query_part
+    )
+    return F.when(host.isNull() | (host == ""), url).otherwise(rebuilt)

@@ -1095,3 +1095,30 @@ def test_topk_quantized_agrees_with_float_path(spark, embeddings):
     assert exact == quant  # self-neighbor survives quantization
     top1 = {r["probe_id"]: r["qcosine"] for r in topk_quantized(emb, probes, k=1).collect()}
     assert all(c > 0.999 for c in top1.values())
+
+
+def test_canonical_url_rules(spark):
+    from patito_spark.functions.urls import canonical_url
+
+    cases = [
+        # default port stripped, scheme/host lowercased, fragment dropped,
+        # tracking removed, params sorted, trailing slash removed
+        (
+            "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1&fbclid=z#f",
+            "https://www.example.com/Path?a=1&b=2",
+        ),
+        # non-default port kept; doubled slashes collapsed
+        ("http://Host.com:8080/a//b/?q=1", "http://host.com:8080/a/b?q=1"),
+        # bare host -> '/'; empty query dropped
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/?utm_campaign=only", "https://example.com/"),
+        # relative reference passes through untouched
+        ("relative/path/only", "relative/path/only"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+    # idempotent: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame([(w,) for _, w in cases], "url string")
+    again = [r[0] for r in df2.select(canonical_url(F.col("url"))).collect()]
+    assert again == [want for _, want in cases]
