@@ -8,6 +8,7 @@ from .io import (
     scan_for,
     write_report,
     write_report_table,
+    write_validated,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "scan_for",
     "write_report",
     "write_report_table",
+    "write_validated",
 ]

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_csv(
@@ -188,3 +189,48 @@ def iceberg_catalog_conf(catalog: str, warehouse: str) -> dict:
         f"spark.sql.catalog.{catalog}.type": "hadoop",
         f"spark.sql.catalog.{catalog}.warehouse": warehouse,
     }
+
+
+def write_validated(
+    df: "DataFrame",
+    model: type,
+    path: str,
+    quarantine_path: Optional[str] = None,
+    fmt: str = "parquet",
+    mode: str = "error",
+) -> dict:
+    """Validated batch sink: rows passing the model's row-level checks land
+    at ``path``; violating rows (annotated with ``_violations`` — the
+    failing check names) land at ``quarantine_path``.
+
+    The batch twin of ``streaming.validate_stream``'s quarantine router,
+    sharing the same compiled row predicates, so a pipeline can use one
+    model for both its backfill and its live path.  The flagged frame is
+    computed once and both branches are written from it — Spark reuses the
+    scan via the two filtered writes (no action happens before the
+    writes, so no double validation pass is materialized by this helper).
+    Without ``quarantine_path``, violating rows are dropped but still
+    counted.  Returns ``{"written": n, "quarantined": n}`` — counted from
+    the written parquet footers (metadata-only, no extra data scan); with
+    ``mode="append"`` the counts therefore include pre-existing rows at
+    the destination.
+
+    Note the scope (same as the streaming router): ROW-level checks only —
+    nullability, bounds, enums, patterns, row-wise constraints.  Dataset
+    checks (uniqueness, schema errors) need the full validate()/runner
+    path; they are not expressible as a per-row filter.
+    """
+    from ..streaming.validate import flag_violations
+
+    flagged = flag_violations(df, model)
+    good = flagged.filter(F.col("_valid")).drop("_valid", "_violations")
+    good.write.format(fmt).mode(mode).save(path)
+    spark = df.sparkSession
+    written = spark.read.format(fmt).load(path).count()
+    bad = flagged.filter(~F.col("_valid")).drop("_valid")
+    if quarantine_path is not None:
+        bad.write.format(fmt).mode(mode).save(quarantine_path)
+        quarantined = spark.read.format(fmt).load(quarantine_path).count()
+    else:
+        quarantined = bad.count()
+    return {"written": written, "quarantined": quarantined}

@@ -181,3 +181,32 @@ def test_read_csv_alias_generator(spark, tmp_path):
 
     out = read_csv(spark, p, M)
     assert out.collect()[0].asDict() == {"a": 1, "b": 2.5}
+
+
+def test_write_validated_quarantine_split(spark, tmp_path):
+    # batch twin of the streaming quarantine router: good rows land clean,
+    # bad rows land annotated with the failing check names, counts exact
+    from patito_spark.sources.io import write_validated
+
+    class M(pt.Model):
+        k: int
+        v: int = pt.Field(ge=0, le=100)
+        kind: str = pt.Field(allowed=["a", "b"])
+
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (2, 150, "a"), (3, 7, "x"), (4, None, "b"), (5, 99, "b")],
+        "k int, v int, kind string",
+    )
+    good_path = str(tmp_path / "good")
+    bad_path = str(tmp_path / "bad")
+    counts = write_validated(df, M, good_path, quarantine_path=bad_path)
+    assert counts == {"written": 2, "quarantined": 3}
+    good = spark.read.parquet(good_path)
+    assert sorted(r["k"] for r in good.collect()) == [1, 5]
+    assert "_violations" not in good.columns
+    bad = {r["k"]: list(r["_violations"]) for r in spark.read.parquet(bad_path).collect()}
+    assert bad[2] == ["v__bound0"] and bad[3] == ["kind__enum"]
+    assert bad[4] == ["v__null"]
+    # no quarantine path: dropped but counted
+    counts2 = write_validated(df, M, str(tmp_path / "good2"))
+    assert counts2 == {"written": 2, "quarantined": 3}
