@@ -1071,6 +1071,38 @@ FROM seq GROUP BY user_id, sid
 """
 
 
+def q_rollup_partials(spark, sf_dir):
+    """The streaming continuous-aggregate stage (``rollup_stream``) run in
+    batch mode: minute buckets of mergeable partials over scaled-integer
+    micros, hash-compared against DuckDB aggregating raw directly.  This is
+    the exact frame a live stream appends to its finest-level table."""
+    from patito_spark.streaming.rollup import rollup_stream
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_us", F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    )
+    out = rollup_stream(events, "ts", "value_us", window="1 minute", watermark=None)
+    return out.select(
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        "n",
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+    )
+
+
+SQL_ROLLUP_PARTIALS = """
+WITH ev AS (
+  SELECT ts, floor(value * 1000000.0)::BIGINT AS v
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT epoch_us(date_trunc('minute', ts))::BIGINT AS bucket_us,
+       count(*)::BIGINT AS n, sum(v)::BIGINT AS sum_v,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+FROM ev GROUP BY 1
+"""
+
+
 def q_session_stats(spark, sf_dir):
     """Gaps-and-islands sessionization of the events table (30-min gap):
     per-session event counts and durations, hash-checked against a lag +
@@ -1972,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "rollup_partials": q_rollup_partials,
         "pricing_summary": q_pricing_summary,
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
@@ -2028,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stats": SQL_SESSION_WINDOW_STATS,
         "range_join": SQL_RANGE_JOIN,
         "time_rollup": SQL_TIME_ROLLUP,
+        "rollup_partials": SQL_ROLLUP_PARTIALS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,

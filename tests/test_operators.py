@@ -1122,3 +1122,33 @@ def test_canonical_url_rules(spark):
     df2 = spark.createDataFrame([(w,) for _, w in cases], "url string")
     again = [r[0] for r in df2.select(canonical_url(F.col("url"))).collect()]
     assert again == [want for _, want in cases]
+
+
+def test_minhash_signature_helper(spark):
+    # the public helper: int64 signatures, identical text -> identical
+    # signature, near-identical text -> mostly-shared mins, and the
+    # num_hashes knob controls length
+    from patito_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat today"),
+            (4, "completely different content about spark plans"),
+        ],
+        "id long, t string",
+    )
+    sigs = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", minhash_signature(F.col("t"), num_hashes=16).alias("s")
+        ).collect()
+    }
+    assert all(len(s) == 16 for s in sigs.values())
+    assert all(isinstance(v, int) and v >= 0 for v in sigs[1])
+    assert sigs[1] == sigs[2]
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near > shared_far
+    assert shared_far == 0

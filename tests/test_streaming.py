@@ -295,3 +295,89 @@ def test_sessionize_stream_watermarked_append(spark, tmp_path):
         (1, base + dt.timedelta(minutes=21)): 1,
         (2, base + dt.timedelta(minutes=2)): 1,
     }
+
+
+def test_rollup_stream_batch_parity_and_merge(spark):
+    """The streamed finest-level partials equal time_rollup's finest level
+    on the same data, and re-aggregating them reproduces a coarser level —
+    the continuous-aggregate contract (stream minute, batch derives hour)."""
+    from patito_spark.operators.rollup import time_rollup
+    from patito_spark.streaming.rollup import rollup_stream
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (base + dt.timedelta(seconds=17 * i), float((i * 13) % 101))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+
+    batch = {
+        r["bucket"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in time_rollup(df, "ts", "v", levels=("minute",)).collect()
+    }
+    streamed = rollup_stream(df, "ts", "v", window="1 minute", watermark=None)
+    got = {
+        r["bucket"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in streamed.collect()
+    }
+    assert got == batch
+    # merge path: hour from streamed minute partials == hour from raw
+    hour_from_partials = {
+        r["b"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in streamed.groupBy(F.date_trunc("hour", "bucket").alias("b"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_v").alias("s"),
+            F.min("min_v").alias("mn"),
+            F.max("max_v").alias("mx"),
+        )
+        .collect()
+    }
+    hour_from_raw = {
+        r["bucket"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in time_rollup(df, "ts", "v", levels=("hour",)).collect()
+    }
+    assert hour_from_partials == hour_from_raw
+
+
+def test_rollup_stream_watermarked_append(spark, tmp_path):
+    from patito_spark.streaming.rollup import rollup_stream
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "buckets")
+    schema = "ts timestamp, v double"
+    base = dt.datetime(2024, 5, 1)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = rollup_stream(stream, "ts", "v", "1 minute", "2 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed([(base, 1.0), (base + dt.timedelta(seconds=30), 2.0),
+          (base + dt.timedelta(minutes=1), 10.0)])
+    run()
+    # watermark = max(ts) - 2min = base-1min: no bucket closed yet
+    assert spark.read.parquet(sink).count() == 0
+    feed([(base + dt.timedelta(minutes=10), 5.0)])  # advance watermark
+    run()
+    got = {
+        r["bucket"]: (r["n"], r["sum_v"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {base: (2, 3.0), base + dt.timedelta(minutes=1): (1, 10.0)}
