@@ -1152,3 +1152,91 @@ def test_minhash_signature_helper(spark):
     shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
     assert shared_near > shared_far
     assert shared_far == 0
+
+
+@st.composite
+def _range_case(draw):
+    n_pts = draw(st.integers(1, 10))
+    n_iv = draw(st.integers(0, 8))
+    pts = [
+        (i, draw(st.sampled_from(["a", "b"])), draw(st.integers(0, 50)))
+        for i in range(n_pts)
+    ]
+    ivs = [
+        (
+            100 + j,
+            draw(st.sampled_from(["a", "b"])),
+            draw(st.integers(0, 50)),
+            draw(st.integers(0, 55)),
+        )
+        for j in range(n_iv)
+    ]
+    bucket = draw(st.sampled_from([1, 3, 7, 100]))
+    return pts, ivs, bucket
+
+
+@given(_range_case())
+@settings(max_examples=12, deadline=None)
+def test_range_join_property_matches_reference(spark, case):
+    # random points/intervals incl. empty and inverted intervals, across
+    # several bucket widths (sub-span, mid, and one-bucket-covers-all):
+    # the bucketed equi-join must return exactly the brute-force pairs,
+    # each exactly once
+    from patito_spark.operators.ranges import range_join
+
+    pts, ivs, bucket = case
+    points = spark.createDataFrame(pts, "pid long, k string, t long")
+    intervals = spark.createDataFrame(ivs, "iid long, k string, s long, e long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "t", "s", "e", by=["k"], bucket_seconds=bucket
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pk, t in pts
+        for iid, ik, s, e in ivs
+        if pk == ik and s <= t < e
+    )
+    assert got == want
+
+
+@st.composite
+def _session_case(draw):
+    events = []
+    for uid in ("u1", "u2"):
+        n = draw(st.integers(0, 12))
+        t = 0
+        for i in range(n):
+            t += draw(st.integers(1, 40))
+            events.append((uid, t))
+    return events
+
+
+@given(_session_case(), st.sampled_from([5, 10, 25]))
+@settings(max_examples=12, deadline=None)
+def test_sessionize_property_matches_reference(spark, events, gap):
+    # random per-user gap sequences vs a linear-scan python reference
+    # (> gap starts a new session); integer seconds as epoch timestamps
+    import datetime as dtm
+
+    from patito_spark.operators.sessions import sessionize
+
+    if not events:
+        return
+    base = dtm.datetime(2024, 1, 1)
+    rows = [(u, base + dtm.timedelta(seconds=t)) for u, t in events]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=gap).collect()
+    }
+    for uid in ("u1", "u2"):
+        ts_list = sorted(t for u, t in events if u == uid)
+        seq, prev = 0, None
+        for t in ts_list:
+            if prev is None or t - prev > gap:
+                seq += 1
+            prev = t
+            assert got[(uid, base + dtm.timedelta(seconds=t))] == seq
