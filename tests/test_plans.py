@@ -1,0 +1,151 @@
+"""Plan-shape regression gate over the ENTIRE contract-query surface.
+
+Every `__spark_entry__.queries()` entry is planned at sf0.001 and checked
+against the scale invariants this engine is built on:
+
+- **No row-wise Python** (``BatchEvalPython``) anywhere, ever.
+- **Arrow-batched Python** only in the five sanctioned queries (blockwise
+  ANN, byte histogram, image/audio decode, exact-KS drift).
+- **No cartesian/nested-loop joins** except the documented broadcast-probe
+  similarity baselines (probe side is a handful of rows by construction)
+  and the chi-square grid (literal expected-frequency table).
+- **No global range sorts** (a single-partition sort cannot scale).
+- **Shuffle budget**: each query's Exchange count must not exceed the
+  audited value recorded below.  Adding a query without adding a budget
+  fails loudly — new plans get budgeted consciously, not silently.
+
+This is the automated version of the per-round manual plan audits in
+COVERAGE.md: a regression here means a rewrite changed the distributed
+shape of a query, not just its wall time.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+#: audited Exchange counts at sf0.001 (2026-08-16); budgets, not targets —
+#: a count BELOW budget is an improvement, above is a regression
+EXCHANGE_BUDGET = {
+    "null_counts": 1,
+    "unique_violations": 3,
+    "bounds_violations": 1,
+    "enum_violations": 1,
+    "validation_report": 1,
+    "derive_columns": 0,
+    "fill_null_defaults": 0,
+    "fill_null_forward": 1,
+    "cast_columns": 0,
+    "doc_fingerprints": 0,
+    "exact_dedup_stats": 2,
+    "token_counts": 0,
+    "lang_id": 0,
+    "quality_scores": 0,
+    "repetition_scores": 0,
+    "pii_counts": 0,
+    "hash_split": 1,
+    "minhash_pairs": 3,
+    "minhash_bucket_audit": 3,
+    "simhash_values": 1,
+    "simhash_pairs": 3,
+    "embedding_topk_blockwise": 1,
+    "ngram_jaccard": 1,
+    "embedding_topk": 2,
+    "embedding_topk_int8": 2,
+    "stats_profile": 2,
+    "histogram": 1,
+    "ri_orphans": 3,
+    "events_windowed": 1,
+    "asof_join": 2,
+    "session_stats": 1,
+    "session_window_stats": 1,
+    "range_join": 2,
+    "time_rollup": 6,
+    "rollup_partials": 1,
+    "pricing_summary": 1,
+    "streaming_flags": 0,
+    "source_skew": 1,
+    "per_partition_report": 1,
+    "orders_join_revenue": 2,
+    "customer_nation_join": 3,
+    "text_parity": 3,
+    "url_domains": 0,
+    "url_canonical": 0,
+    "clean_corpus": 2,
+    "chi2_drift_by_lang": 5,
+    "multimodal_byte_hist": 0,
+    "image_decode_meta": 0,
+    "audio_decode_meta": 0,
+    "embedding_near_dups": 2,
+    "ks_drift_by_lang": 1,
+    "ivf_topk": 2,
+}
+
+#: Arrow-batched Python is the sanctioned slow path for exactly these
+ARROW_OK = {
+    "embedding_topk_blockwise",
+    "multimodal_byte_hist",
+    "image_decode_meta",
+    "audio_decode_meta",
+    "ks_drift_by_lang",
+}
+
+#: broadcast nested-loop over a tiny side (probes / literal grid)
+CARTESIAN_OK = {"embedding_topk", "embedding_topk_int8", "chi2_drift_by_lang"}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_every_query_has_an_exchange_budget(plans):
+    missing = sorted(set(plans) - set(EXCHANGE_BUDGET))
+    assert not missing, (
+        f"new queries without an audited shuffle budget: {missing} — "
+        "inspect the plan and add a conscious entry to EXCHANGE_BUDGET"
+    )
+
+
+def test_no_rowwise_python_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-at-a-time Python UDF in: {offenders}"
+
+
+def test_arrow_python_only_where_sanctioned(plans):
+    arrow = {
+        n
+        for n, p in plans.items()
+        if "ArrowEvalPython" in p
+        or "MapInPandas" in p
+        or "FlatMapGroupsInPandas" in p
+    }
+    assert arrow <= ARROW_OK, f"unsanctioned pandas path in: {arrow - ARROW_OK}"
+
+
+def test_no_unsanctioned_cartesian_joins(plans):
+    cart = {
+        n
+        for n, p in plans.items()
+        if "CartesianProduct" in p or "BroadcastNestedLoop" in p
+    }
+    assert cart <= CARTESIAN_OK, f"cartesian join in: {cart - CARTESIAN_OK}"
+
+
+def test_no_global_range_sorts(plans):
+    offenders = [n for n, p in plans.items() if "rangepartitioning" in p.lower()]
+    assert not offenders, f"global sort (range partitioning) in: {offenders}"
+
+
+def test_exchange_counts_within_budget(plans):
+    over = {
+        n: (p.count("Exchange"), EXCHANGE_BUDGET[n])
+        for n, p in plans.items()
+        if n in EXCHANGE_BUDGET and p.count("Exchange") > EXCHANGE_BUDGET[n]
+    }
+    assert not over, f"shuffle-count regressions (got, budget): {over}"
