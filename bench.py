@@ -300,6 +300,8 @@ def run_scaling() -> dict:
             "reps_per_child": 3,
             "child_best_of": "min of 3 warm reps (JIT/cache warmed by a local[32] pass in the same child JVM)",
             "pairing": "same-round interleaved pairs + best-of-per-level; plausible raw (<=1.3) preferred",
+            "note": "round_efficiencies lists rounds_run same-round pairs "
+            "plus ONE trailing best-of-per-level candidate",
         },
     }
 
