@@ -517,6 +517,33 @@ FROM h GROUP BY 1
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (training-data balancing): keep
+    80% of en, 40% of de, 10% of fr, drop everything else — every kept row
+    hash-compared, not just the counts, so the per-stratum independent
+    hash streams are pinned exactly."""
+    from patito_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.8, "de": 0.4, "fr": 0.1}
+    )
+    return kept.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         (('0x' || substring(md5(doc_id::VARCHAR || '|' || lang || 'stratified'), 1, 15))::BIGINT
+          % 1000000) / 1000000.0 AS f
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE f < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.4
+                    WHEN 'fr' THEN 0.1 ELSE 0.0 END
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash LSH candidate pairs with duplicated documents planted by
     construction? No — run directly on the real table: both engines see the
@@ -1987,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "pii_counts": q_pii_counts,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
@@ -2044,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": SQL_REPETITION_SCORES,
         "pii_counts": _sql_pii_counts(),
         "hash_split": _sql_hash_split(),
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "minhash_pairs": _sql_minhash_pairs(),
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),

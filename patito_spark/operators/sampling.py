@@ -82,3 +82,46 @@ def split_counts(
         .groupBy("split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, chosen purely by key hash.
+
+    The training-data balancing primitive: ``fractions`` maps a stratum
+    value (e.g. a language) to its keep rate; strata not listed keep
+    ``default`` (0.0 = drop — an explicit allowlist).  Like
+    ``deterministic_sample`` this is a scan-side predicate — no shuffle,
+    reproducible across runs/engines/table growth, and a row's fate never
+    depends on the rest of its stratum (so it composes with resume and
+    with distributed execution trivially, unlike exact-count quota
+    sampling which needs a global sort or sketch).
+
+    The key is salted with the STRATUM as well: the same document id kept
+    under one stratum does not bias its fate under another (strata use
+    independent hash streams).
+    """
+    if not fractions:
+        raise ValueError("fractions must be a non-empty {stratum: rate} dict")
+    for stratum, rate in fractions.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1]")
+    rate_expr = None
+    for stratum in sorted(fractions):
+        clause = F.col(strata_col) == stratum
+        lit = F.lit(float(fractions[stratum]))
+        rate_expr = (
+            F.when(clause, lit) if rate_expr is None else rate_expr.when(clause, lit)
+        )
+    rate_expr = rate_expr.otherwise(F.lit(float(default)))
+    frac = _hash_fraction(
+        F.concat(F.col(key_col).cast("string"), F.lit("|"), F.col(strata_col).cast("string")),
+        salt,
+    )
+    return df.filter(frac < rate_expr)

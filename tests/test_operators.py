@@ -716,6 +716,51 @@ def test_hash_split_partitions_every_row_once(spark):
         hash_split(df, "k", {})
 
 
+def test_stratified_sample_rates_and_independence(spark):
+    from patito_spark.operators.sampling import stratified_sample
+
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    kept = stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1}).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["k"])
+    # per-stratum rates honored; unlisted stratum dropped entirely
+    assert 0.45 < len(by_lang["en"]) / 10_000 < 0.55
+    assert 0.07 < len(by_lang["de"]) / 10_000 < 0.13
+    assert "fr" not in by_lang
+    # default= keeps unlisted strata at the given rate
+    with_default = stratified_sample(
+        df, "k", "lang", {"en": 0.5}, default=1.0
+    )
+    assert with_default.filter(F.col("lang") == "fr").count() == 10_000
+    # deterministic: same keys every run
+    again = {
+        (r["k"], r["lang"])
+        for r in stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1}).collect()
+    }
+    assert again == {(r["k"], r["lang"]) for r in kept}
+    # strata use independent hash streams: en's kept-rate among keys that
+    # de would keep equals en's global rate (no correlation)
+    de_kept_keys = {
+        r["k"]
+        for r in stratified_sample(
+            df.withColumn("lang", F.lit("de")), "k", "lang", {"de": 0.1}
+        ).collect()
+    }
+    en_among = len(by_lang["en"] & de_kept_keys) / max(len(de_kept_keys & {r["k"] for r in df.filter(F.col("lang")=="en").collect()}), 1)
+    assert 0.3 < en_among < 0.7  # ~0.5, NOT 0 or 1
+    with pytest.raises(ValueError, match="non-empty"):
+        stratified_sample(df, "k", "lang", {})
+    with pytest.raises(ValueError, match="must be in"):
+        stratified_sample(df, "k", "lang", {"en": 1.5})
+
+
 # -- multimodal ---------------------------------------------------------------------------------------
 
 
