@@ -43,6 +43,7 @@ EXCHANGE_BUDGET = {
     "repetition_scores": 0,
     "pii_counts": 0,
     "hash_split": 1,
+    "stratified_sample": 0,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
