@@ -362,8 +362,22 @@ class DataFrame:
             if isinstance(partition_by, str)
             else list(partition_by)
         )
-        base = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
-        ordered = base.orderBy(*[F.col(c).asc() for c in order])
+        if parts:
+            base = Window.partitionBy(*parts)
+        else:
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                "fill_null(strategy={!r}) without partition_by= plans a "
+                "single-partition global window — the whole frame sorts on "
+                "one task. Pass partition_by= at scale.".format(strategy),
+                stacklevel=3,
+            )
+            base = Window.partitionBy(F.lit(1))
+        # NULLS LAST to match polars/DuckDB sort order (Spark's .asc() is
+        # NULLS FIRST) — otherwise NULL order keys silently diverge
+        # cross-engine.
+        ordered = base.orderBy(*[F.asc_nulls_last(c) for c in order])
         if strategy == "forward":
             w = ordered.rowsBetween(
                 Window.unboundedPreceding if limit is None else -limit,

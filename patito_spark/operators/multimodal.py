@@ -214,6 +214,12 @@ def decode_audio(
                                 "(16-bit only)"
                             )
                         nch, rate = w.getnchannels(), w.getframerate()
+                        if rate <= 0:
+                            # stdlib wave accepts a 0 frame rate header;
+                            # without this guard the duration division below
+                            # raises ZeroDivisionError outside the except
+                            # tuple and kills the whole task.
+                            raise ValueError(f"invalid frame rate {rate}")
                         nframes = w.getnframes()
                         samples = np.frombuffer(
                             w.readframes(nframes), dtype="<i2"

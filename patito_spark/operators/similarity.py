@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+from .dedup import _materialize
 
 
 def topk_brute_force(
@@ -314,14 +315,6 @@ def topk_quantized(
         probes.select(F.col(probe_id_col).alias("probe_id"), F.col(vec_col)),
         vec_col,
     )
-    c = qc.select("neighbor_id", F.col("q").alias("_cq"))
-    p = F.broadcast(qp.select("probe_id", F.col("q").alias("_pq")))
-    idot = F.aggregate(
-        F.zip_with("_cq", "_pq", lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-
     def _inorm(col: str):
         return F.sqrt(
             F.aggregate(
@@ -331,13 +324,33 @@ def topk_quantized(
             ).cast("double")
         )
 
+    # Materialize each norm ONCE per vector before the crossJoin — Catalyst
+    # does not CSE across HOF lambdas, so an inline _inorm in both the
+    # `when` guard and the product would re-run the aggregate up to 3x per
+    # (probe, corpus) PAIR instead of once per row.
+    c = _materialize(
+        qc.select("neighbor_id", F.col("q").alias("_cq")),
+        _cnorm=_inorm("_cq"),
+    )
+    p = F.broadcast(
+        _materialize(
+            qp.select("probe_id", F.col("q").alias("_pq")),
+            _pnorm=_inorm("_pq"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with("_cq", "_pq", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
     sims = c.crossJoin(p).select(
         "probe_id",
         "neighbor_id",
         F.round(
             idot / F.when(
-                (_inorm("_cq") > 0) & (_inorm("_pq") > 0),
-                _inorm("_cq") * _inorm("_pq"),
+                (F.col("_cnorm") > 0) & (F.col("_pnorm") > 0),
+                F.col("_cnorm") * F.col("_pnorm"),
             ).otherwise(F.lit(float("inf"))),
             6,
         ).alias("qcosine"),

@@ -184,6 +184,58 @@ def ks_exact_vs_cdf(
     )
 
 
+def ks_grid_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_points: Sequence[float],
+    ref_cdf: Sequence[float],
+) -> DataFrame:
+    """Per-group KS statistic against an explicit (points, cdf) reference —
+    pure native Columns, no Python anywhere.
+
+    Identical statistic to :func:`ks_exact_vs_cdf` when the reference is a
+    fixed grid (``numpy.searchsorted(values, p, side="right") ==
+    count(values <= p)``), computed as one ``groupBy(group).agg`` of
+    per-grid-point conditional counts.  This is the scale path: the grouped
+    ``applyInPandas`` variant materializes an entire group in one pandas
+    frame — at corpus scale a single language is terabytes — while this
+    formulation is a single scan with map-side partial aggregation and a
+    one-row-per-group shuffle, for any group size.
+
+    Keep :func:`ks_exact_by_group` / :func:`ks_exact_vs_cdf` for
+    driver-sized frames or non-grid references.
+    """
+    pts = [float(p) for p in ref_points]
+    cdf = [float(c) for c in ref_cdf]
+    counts = df.groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        *[
+            F.coalesce(
+                F.sum((F.col(value_col) <= F.lit(p)).cast("long")), F.lit(0)
+            ).alias(f"_c{i}")
+            for i, p in enumerate(pts)
+        ],
+    )
+    if not pts:
+        return counts.select(
+            group_col, F.lit(float("nan")).alias("ks"), F.col("n")
+        )
+    gaps = F.array(
+        *[
+            F.abs(F.col(f"_c{i}") / F.col("n") - F.lit(cdf[i]))
+            for i in range(len(pts))
+        ]
+    )
+    return counts.select(
+        group_col,
+        F.when(F.col("n") > 0, F.array_max(gaps))
+        .otherwise(F.lit(float("nan")))
+        .alias("ks"),
+        F.col("n"),
+    )
+
+
 def chi_square_by_group(
     df: DataFrame,
     group_col: str,
@@ -221,16 +273,19 @@ def chi_square_by_group(
     per = base.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_o"))
     glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_gl"))
     totals = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-    n_total = base.count()
+    # N derives from the glob side (sum of per-bucket counts) via a one-row
+    # broadcast cross join — no separate count() action/job on `base`.
+    n_total = F.broadcast(glob.agg(F.sum("_gl").alias("_nt")))
     # every (group, occupied bucket) combination, with o=0 where absent
-    grid = totals.crossJoin(glob)
+    grid = totals.crossJoin(glob).crossJoin(n_total)
     joined = grid.join(per, ["_g", "_b"], "left").select(
         "_g",
         "_n",
         F.col("_gl"),
         F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
+        F.col("_nt"),
     )
-    e = F.col("_gl") * F.col("_n") / F.lit(n_total)
+    e = F.col("_gl") * F.col("_n") / F.col("_nt")
     term = (F.col("_o") - e) * (F.col("_o") - e) / e
     return joined.groupBy("_g").agg(
         F.sum(term).alias("chi2"),

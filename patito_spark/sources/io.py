@@ -205,10 +205,12 @@ def write_validated(
 
     The batch twin of ``streaming.validate_stream``'s quarantine router,
     sharing the same compiled row predicates, so a pipeline can use one
-    model for both its backfill and its live path.  The flagged frame is
-    computed once and both branches are written from it — Spark reuses the
-    scan via the two filtered writes (no action happens before the
-    writes, so no double validation pass is materialized by this helper).
+    model for both its backfill and its live path.  Each write is its own
+    Spark action, so the source is scanned (and the row predicates
+    re-evaluated) once per branch — two independent scan+validate passes,
+    not one shared pass.  That is deliberate: caching the flagged frame
+    would pin the full input in executor storage, which loses at the
+    scales this sink targets, while a second columnar scan is cheap.
     Without ``quarantine_path``, violating rows are dropped but still
     counted.  Returns ``{"written": n, "quarantined": n}`` — counted from
     the written parquet footers (metadata-only, no extra data scan); with

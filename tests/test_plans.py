@@ -87,7 +87,6 @@ ARROW_OK = {
     "multimodal_byte_hist",
     "image_decode_meta",
     "audio_decode_meta",
-    "ks_drift_by_lang",
 }
 
 #: broadcast nested-loop over a tiny side (probes / literal grid)

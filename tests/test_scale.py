@@ -1,6 +1,7 @@
 """Scale-path machinery: runner checkpoint/resume, stats, RI, synthesizer."""
 
 import datetime as dt
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -461,3 +462,48 @@ def test_ks_exact_by_group(spark):
     ref = [float(i) for i in range(100)]  # matches both groups' distribution
     out = {r["g"]: r["ks"] for r in ks_exact_by_group(df, "g", "x", ref).collect()}
     assert all(v < 0.06 for v in out.values())
+
+
+def test_ks_grid_by_group_matches_pandas_path(spark):
+    """The native grid KS (one groupBy.agg of conditional counts) computes
+    the exact same statistic as the grouped-applyInPandas path, with zero
+    Python nodes in its plan."""
+    from patito_spark.plans.stats import (
+        grid_cdf_reference,
+        ks_exact_vs_cdf,
+        ks_grid_by_group,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        # skew group 2 so the statistics genuinely differ per group
+        F.when(F.col("id") % 3 == 2, (F.col("id") % 40) + 60.0)
+        .otherwise(F.col("id") % 100)
+        .cast("double")
+        .alias("x"),
+    )
+    pts, cdf = grid_cdf_reference(df, "x", points=31)
+    native = ks_grid_by_group(df, "g", "x", pts, cdf)
+    arrow = ks_exact_vs_cdf(df, "g", "x", pts, cdf)
+    n_rows = {r["g"]: (round(r["ks"], 12), r["n"]) for r in native.collect()}
+    a_rows = {r["g"]: (round(r["ks"], 12), r["n"]) for r in arrow.collect()}
+    assert n_rows == a_rows
+    assert len(n_rows) == 3
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_ks_grid_by_group_null_values_and_empty_ref(spark):
+    from patito_spark.plans.stats import ks_grid_by_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", None)], "g string, x double"
+    )
+    out = {
+        r["g"]: (r["ks"], r["n"])
+        for r in ks_grid_by_group(df, "g", "x", [0.5], [0.5]).collect()
+    }
+    assert out["a"] == (0.5, 1)  # count(x<=0.5)=0 → |0 - 0.5|
+    assert out["b"][1] == 0 and math.isnan(out["b"][0])
+    empty_ref = ks_grid_by_group(df, "g", "x", [], []).collect()
+    assert all(math.isnan(r["ks"]) for r in empty_ref)
