@@ -70,7 +70,18 @@ def asof_join(
     )
     u = l.unionByName(r)
 
-    part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    if by:
+        part = Window.partitionBy(*by)
+    else:
+        import warnings  # noqa: PLC0415
+
+        warnings.warn(
+            "asof_join without by= plans a single-partition global window — "
+            "both inputs sort on one task. Pass by= (the equality keys) at "
+            "scale.",
+            stacklevel=2,
+        )
+        part = Window.partitionBy(F.lit(1))
     if direction == "backward":
         # right rows sort BEFORE a left row with the same timestamp, so
         # `on <= left.on` is inclusive; last non-null right payload wins

@@ -61,6 +61,22 @@ _ENUM_SAMPLE_CAP = 1000
 
 
 
+def _enum_sample_values(
+    df: DataFrame,
+    value_expr: Column,
+    is_array: bool,
+    cap: int = _ENUM_SAMPLE_CAP,
+) -> list:
+    """Distinct offending enum values, bounded end to end: the distinct is a
+    spillable hash aggregate (unlike a collect_set buffer) and ``limit``
+    caps what reaches the driver."""
+    vals = df.select(value_expr.alias("_v"))
+    if is_array:
+        vals = vals.select(F.explode("_v").alias("_v"))
+    rows = vals.filter(F.col("_v").isNotNull()).distinct().limit(cap).collect()
+    return [r["_v"] for r in rows]
+
+
 def _wrap(exc_cls, msg: str, loc: str, count: int) -> ErrorWrapper:
     exc = exc_cls(msg)
     exc.count = count  # structured count for the report/checkpoint writer
@@ -77,12 +93,25 @@ class _Ctx:
         # mixed aggregate/row constraints needing the scalar-splice pass:
         # dicts with loc / row+mixed Exprs / placeholder→alias / agg aliases
         self.mixed_groups: list[dict] = []
+        # V6 offending-value samples fetched in a bounded FOLLOW-UP job, not
+        # accumulated in the single-pass agg: (alias, value expr, is_array,
+        # violation-count alias).  A collect_set term would hold the full
+        # distinct set in every partial aggregation buffer — a misdeclared
+        # high-cardinality "enum" column (e.g. url) becomes an executor OOM.
+        self.enum_samples: list[tuple[str, Column, bool, str]] = []
         self._n = 0
 
     def add(self, column: Column) -> str:
         alias = f"_chk{self._n}"
         self._n += 1
         self.terms[alias] = column.alias(alias)
+        return alias
+
+    def add_enum_sample(
+        self, value_expr: Column, is_array: bool, cnt_alias: str
+    ) -> str:
+        alias = f"_enum{len(self.enum_samples)}"
+        self.enum_samples.append((alias, value_expr, is_array, cnt_alias))
         return alias
 
 
@@ -176,6 +205,13 @@ def find_errors(
     result: dict = {}
     if ctx.terms:
         result = df.agg(*ctx.terms.values()).collect()[0].asDict()
+        # Job 1a (only when an enum check found violations): bounded
+        # offending-value sample per violating enum column.  distinct() is a
+        # spillable hash aggregate and limit caps the driver transfer, so
+        # neither executors nor the driver ever hold the full distinct set.
+        for alias, value_expr, is_array, cnt_alias in ctx.enum_samples:
+            if (result.get(cnt_alias) or 0) > 0:
+                result[alias] = _enum_sample_values(df, value_expr, is_array)
         for handler in ctx.handlers:
             handler(result, errors)
 
@@ -379,26 +415,22 @@ def _compile_column(
     # --- V6 enum / allowed values (validators.py:405-439) --------------------
     if spec.allowed_values:
         allowed = list(spec.allowed_values)
+        # Phase 1 (this agg): a NATIVE violation count — constant aggregation
+        # state per buffer.  Phase 2 (find_errors / the runner): when the
+        # count is non-zero, the offending-value sample is fetched by a tiny
+        # follow-up job (spillable distinct + limit) and injected into the
+        # result dict under `set_alias` before handlers run.
         if isinstance(df_type, T.ArrayType):
             bad = F.filter(col, lambda x: ~x.isin(*allowed))
-            set_alias = ctx.add(
-                F.slice(
-                    F.array_distinct(F.flatten(F.collect_list(bad))),
-                    1,
-                    _ENUM_SAMPLE_CAP,
-                )
-            )
+            cnt_alias = ctx.add(F.sum(F.greatest(F.size(bad), F.lit(0))))
+            set_alias = ctx.add_enum_sample(bad, True, cnt_alias)
             null_in_alias = ctx.add(
                 F.max(F.coalesce(F.exists(col, lambda x: x.isNull()), F.lit(False)))
             )
         else:
-            set_alias = ctx.add(
-                F.slice(
-                    F.collect_set(F.when(~col.isin(*allowed), col)),
-                    1,
-                    _ENUM_SAMPLE_CAP,
-                )
-            )
+            bad_val = F.when(~col.isin(*allowed), col)
+            cnt_alias = ctx.add(F.sum((~col.isin(*allowed)).cast("long")))
+            set_alias = ctx.add_enum_sample(bad_val, False, cnt_alias)
             null_in_alias = None
         col_null_alias = (
             ctx.add(F.sum(col.isNull().cast("long"))) if not spec.nullable else None

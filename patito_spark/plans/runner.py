@@ -370,9 +370,24 @@ class ValidationRunner:
                 .agg(F.count(F.lit(1)).alias("_rows"), lineage_term, *ctx.terms.values())
                 .collect()
             )
+            # Job 1a: bounded per-partition enum offending-value samples,
+            # fetched only for enum columns that violated somewhere (the
+            # single-pass agg carries native counts, never a collect_set)
+            enum_fetch = [
+                e
+                for e in ctx.enum_samples
+                if any((row.asDict().get(e[3]) or 0) > 0 for row in agg_rows)
+            ]
+            enum_by_part = (
+                _enum_samples_by_partition(df, part, enum_fetch)
+                if enum_fetch
+                else {}
+            )
             for row in agg_rows:
                 d = row.asDict()
                 p = d["_partition"]
+                for alias, _, _, _ in enum_fetch:
+                    d[alias] = enum_by_part.get((p, alias), [])
                 rows_per_partition[p] = d["_rows"]
                 files_per_partition[p] = list(d["_files"] or [])
                 errs: list = []
@@ -495,6 +510,31 @@ def _dup_error(loc: str, count: int):
     return _wrap(
         RowValueError, f"{count} rows with duplicated values.", loc, count
     )
+
+
+def _enum_samples_by_partition(df: DataFrame, part, enum_fetch: list) -> dict:
+    """Distinct offending enum values per (partition, enum alias), bounded
+    end to end: the distinct is a spillable hash aggregate and a
+    per-partition ``row_number`` caps what each partition contributes to
+    the driver.  One tiny job per violating enum column, and only when a
+    violation exists somewhere."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from .checks import _ENUM_SAMPLE_CAP  # noqa: PLC0415
+
+    out: dict = {}
+    for alias, value_expr, is_array, _ in enum_fetch:
+        vals = df.select(part.alias("_p"), value_expr.alias("_v"))
+        if is_array:
+            vals = vals.select("_p", F.explode("_v").alias("_v"))
+        vals = vals.filter(F.col("_v").isNotNull()).distinct()
+        w = Window.partitionBy("_p").orderBy("_v")
+        capped = vals.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= _ENUM_SAMPLE_CAP
+        )
+        for r in capped.collect():
+            out.setdefault((r["_p"], alias), []).append(r["_v"])
+    return out
 
 
 def _unique_partials(df: DataFrame, part, targets: list) -> DataFrame:

@@ -273,24 +273,29 @@ def chi_square_by_group(
     per = base.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_o"))
     glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_gl"))
     totals = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-    # N derives from the glob side (sum of per-bucket counts) via a one-row
-    # broadcast cross join — no separate count() action/job on `base`.
-    n_total = F.broadcast(glob.agg(F.sum("_gl").alias("_nt")))
     # every (group, occupied bucket) combination, with o=0 where absent
-    grid = totals.crossJoin(glob).crossJoin(n_total)
+    grid = totals.crossJoin(glob)
     joined = grid.join(per, ["_g", "_b"], "left").select(
         "_g",
         "_n",
         F.col("_gl"),
         F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
-        F.col("_nt"),
     )
-    e = F.col("_gl") * F.col("_n") / F.col("_nt")
-    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    # chi² = Σ_b (o−e)²/e with e = gl·n/N expands to (N/n)·Σ(o²/gl) − n,
+    # because Σo = n and Σe = n over the group's grid rows, and N = Σgl
+    # over those same rows (each group sees every occupied bucket).  That
+    # folds the global total N into THIS aggregate — no separate count()
+    # action, no extra subtree.
+    n_g = F.min("_n")
+    chi2 = (
+        F.sum("_gl") / n_g
+        * F.sum(F.col("_o") * F.col("_o") / F.col("_gl"))
+        - n_g
+    )
     return joined.groupBy("_g").agg(
-        F.sum(term).alias("chi2"),
+        chi2.alias("chi2"),
         F.count(F.lit(1)).cast("long").alias("buckets"),
-        F.min("_n").cast("long").alias("n"),
+        n_g.cast("long").alias("n"),
     ).select(F.col("_g").alias(group_col), "chi2", "buckets", "n")
 
 

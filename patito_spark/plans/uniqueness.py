@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 #: Default salt bucket count for explicit pre-aggregation.
 DEFAULT_SALT_BUCKETS = 64
 
-#: Dimension row-count threshold under which we force a broadcast join.
-#: 10M keys ≈ a few hundred MB — inside a healthy executor broadcast budget.
-BROADCAST_ROW_THRESHOLD = 10_000_000
+#: Dimension plan-size estimate (bytes) under which we force a broadcast
+#: join.  256 MB is inside a healthy executor broadcast budget; a 10^8-row
+#: dim estimates well past it and takes the shuffle path instead of OOMing
+#: every executor.
+BROADCAST_SIZE_THRESHOLD = 256 * 1024 * 1024
 
 
 def duplicate_stats(
@@ -63,6 +65,18 @@ def duplicate_member_count(df: DataFrame, column: str) -> int:
     return int(row["n"])
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes — metadata only
+    (file sizes for scans, width×rows for ranges), never a Spark job.
+    Unknown estimates come back enormous, which safely reads as
+    'do not broadcast'."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes().toString())
+    except Exception:  # pragma: no cover - defensive: any Py4J hiccup
+        return 2**63 - 1
+
+
 def referential_violations(
     fact: DataFrame,
     fact_key: Column,
@@ -75,12 +89,19 @@ def referential_violations(
     ``fact_key`` may be an expression (e.g. ``F.parse_url(url, 'HOST')``).
     The dim side is deduplicated then broadcast when small — the anti join
     then runs map-side with zero shuffle of the fact table.
+
+    ``broadcast_dim=None`` (default) decides from Catalyst's plan-size
+    estimate of the projected dim (file-size-derived for table scans — no
+    job runs): below :data:`BROADCAST_SIZE_THRESHOLD` it broadcasts,
+    otherwise it plans a plain shuffle anti join, where AQE can still
+    convert to broadcast at runtime from exact shuffle statistics.  Pass
+    ``True``/``False`` to override when you know the dim's size.
     """
     keys = dim.select(F.col(dim_key).alias("_ref_key")).dropDuplicates(["_ref_key"])
     if broadcast_dim is None:
-        # Cheap heuristic without an extra job: let AQE decide unless the
-        # caller knows; callers at 10^12 scale should pass broadcast_dim.
-        broadcast_dim = True
+        broadcast_dim = _estimated_bytes(
+            dim.select(F.col(dim_key).alias("_ref_key"))
+        ) <= BROADCAST_SIZE_THRESHOLD
     if broadcast_dim:
         keys = F.broadcast(keys)
     withkey = fact.withColumn("_fact_key", fact_key)

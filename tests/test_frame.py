@@ -245,6 +245,40 @@ def test_fill_null_forward_partitioned(spark):
     assert out == {("x", 1): 1, ("x", 2): 1, ("y", 1): None, ("y", 2): 9}
 
 
+def test_fill_null_ordered_warns_without_partition_by(spark):
+    import warnings
+
+    class M(pt.Model):
+        k: int
+        a: Optional[int]
+
+    df = M.DataFrame(spark.createDataFrame([(1, 1), (2, None)], "k int, a int"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df.fill_null(strategy="forward", order_by="k")
+    assert any("single-partition" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df.fill_null(strategy="forward", order_by="k", partition_by="k")
+    assert not any("single-partition" in str(w.message) for w in caught)
+
+
+def test_fill_null_ordered_nulls_last_order_keys(spark):
+    # NULL order keys sort LAST (polars/DuckDB parity) — a NULL-key row
+    # takes the last real value under forward fill instead of leading
+    class M(pt.Model):
+        k: Optional[int]
+        a: Optional[int]
+
+    rows = [(1, 10), (2, None), (None, None)]
+    df = M.DataFrame(spark.createDataFrame(rows, "k int, a int"))
+    out = {
+        r["k"]: r["a"]
+        for r in df.fill_null(strategy="forward", order_by="k").collect()
+    }
+    assert out == {1: 10, 2: 10, None: 10}
+
+
 def test_read_csv_classmethod(spark, tmp_path):
     # ≈ reference test: headerless CSV takes model column order and types,
     # derived_from populated on read (polars.py:880-960)

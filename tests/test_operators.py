@@ -488,6 +488,26 @@ def test_asof_join_backward_forward(spark):
     assert fwd == {1: 70.0, 2: 100.0, 3: None, 4: 2.0}
 
 
+def test_asof_join_without_by_warns(spark):
+    # no by= → partitionBy(lit(1)) global window: correct, but the whole
+    # union sorts on one task — the API must say so out loud
+    import warnings
+
+    from patito_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "id long, t long")
+    right = spark.createDataFrame([(2, 20.0)], "t long, px double")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = asof_join(left, right, on="t")
+    assert any("single-partition" in str(w.message) for w in caught)
+    assert out.collect()[0]["px"] == 20.0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        asof_join(left, right, on="t", by=["t"])
+    assert not any("single-partition" in str(w.message) for w in caught)
+
+
 def test_asof_join_null_on_never_matches(spark):
     # DuckDB ASOF / polars join_asof parity: NULL timestamps match nothing —
     # a NULL right ts must not be carried into real rows (it would sort

@@ -142,6 +142,29 @@ def test_no_global_range_sorts(plans):
     assert not offenders, f"global sort (range partitioning) in: {offenders}"
 
 
+def _has_single_partition_sort(plan: str) -> bool:
+    """True when a Sort feeds an Exchange SinglePartition — the physical
+    shape of a no-keys window (``Window ← Sort ← Exchange SinglePartition``):
+    the whole input funnels through ONE task.  A SinglePartition exchange
+    under a final HashAggregate (tiny partial-merge of a global agg) is
+    fine and deliberately not matched."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line and i > 0:
+            parent = lines[i - 1]
+            if "Sort " in parent or parent.strip().startswith("Sort"):
+                return True
+    return False
+
+
+def test_no_single_partition_window_sorts(plans):
+    """asof_join without by= / ordered fill without partition_by= plan a
+    partitionBy(lit(1)) window; they warn at the API layer, and no contract
+    query may ship one."""
+    offenders = [n for n, p in plans.items() if _has_single_partition_sort(p)]
+    assert not offenders, f"single-partition window sort in: {offenders}"
+
+
 def test_exchange_counts_within_budget(plans):
     over = {
         n: (p.count("Exchange"), EXCHANGE_BUDGET[n])

@@ -110,6 +110,31 @@ def test_runner_per_partition_verdicts(spark, pages, tmp_path):
     assert not any(v["column"] == "crawl_date" for v in result.violations)
 
 
+def test_runner_enum_samples_attributed_per_partition(spark, tmp_path):
+    """Enum offending values are fetched by the bounded follow-up job and
+    attributed to the partition that contains them — a clean partition
+    reports no enum error even when another partition violates."""
+
+    class M(pt.Model):
+        g: str
+        v: str = pt.Field(allowed=["a", "b"])
+
+    df = spark.createDataFrame(
+        [("p1", "a"), ("p1", "ZZ"), ("p1", "QQ"), ("p2", "b")],
+        "g string, v string",
+    )
+    result = ValidationRunner(M, "g", checkpoint_dir=str(tmp_path / "e")).run(df)
+    enum_viol = [
+        v
+        for v in result.violations
+        if v["column"] == "v" and "invalid values" in v["message"]
+    ]
+    assert len(enum_viol) == 1
+    assert enum_viol[0]["partition"] == "p1"
+    assert "'ZZ'" in enum_viol[0]["message"]
+    assert "'QQ'" in enum_viol[0]["message"]
+
+
 def test_runner_resume_skips_finished(spark, pages, tmp_path):
     ckpt = str(tmp_path / "resume")
     runner = ValidationRunner(WebPage, "crawl_date", checkpoint_dir=ckpt)
@@ -394,6 +419,28 @@ def test_referential_orphans(spark, pages):
         domains.withColumnRenamed("domain", "host"), "host", "left_anti"
     ).count()
     assert orphans == manual
+
+
+def test_referential_broadcast_sizing(spark):
+    """Default broadcast decision comes from the plan-size estimate: a huge
+    dim must NOT be broadcast (executor OOM at scale), a small one must be.
+    Plan-only assertions — the big join never executes."""
+    from patito_spark.plans.uniqueness import referential_violations
+
+    fact = spark.range(100).select(F.col("id").alias("k"))
+
+    def plan(dim, **kw):
+        out = referential_violations(fact, F.col("k"), dim, "id", **kw)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    big = spark.range(200_000_000)  # ~1.6 GB estimate, over the threshold
+    small = spark.range(1_000)
+    assert "BroadcastExchange" not in plan(big)
+    assert "BroadcastExchange" in plan(small)
+    # explicit opt-in beats the estimate (broadcast_dim=False merely omits
+    # the hint — Catalyst's own autoBroadcastJoinThreshold may still pick
+    # broadcast for a genuinely tiny side, which is fine)
+    assert "BroadcastExchange" in plan(big, broadcast_dim=True)
 
 
 # -- stats / drift ------------------------------------------------------------------

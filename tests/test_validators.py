@@ -235,6 +235,73 @@ def test_enum_in_lists(spark):
     assert _errs(e)[0]["msg"] == "Rows with invalid values: {'x'}."
 
 
+def test_enum_bounded_executor_state(spark):
+    """A misdeclared high-cardinality 'enum' column must not accumulate the
+    full distinct set in aggregation buffers: the single-pass agg carries a
+    native count only (no collect_set / object hash aggregate), and the
+    offending-value sample comes from a bounded follow-up job."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from patito_spark.plans import checks
+
+    class M(pt.Model):
+        v: str = pt.Field(allowed=["a", "b"])
+
+    df = spark.range(1_000_000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    # the compiled single-pass agg holds no unbounded collect buffer
+    ctx = checks._Ctx()
+    checks._compile_level(
+        ctx=ctx,
+        errors=[],
+        specs=M.__column_specs__,
+        model_config=M.model_config,
+        df_columns=["v"],
+        df_types={"v": T.StringType()},
+        columns=None,
+        allow_missing_columns=False,
+        allow_superfluous_columns=False,
+        path="",
+        loc="",
+        guard=None,
+    )
+    plan = (
+        df.agg(*ctx.terms.values())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" not in plan and "ObjectHashAggregate" not in plan
+    # end to end: one million distinct offenders still validates (capped
+    # sample in the message, not the full set)
+    with pytest.raises(pt.DataFrameValidationError) as e:
+        M.validate(df)
+    (err,) = _errs(e)
+    assert err["loc"] == ("v",)
+    assert err["msg"].startswith("Rows with invalid values: {")
+    n_listed = err["msg"].count(",") + 1
+    assert n_listed <= 1000
+
+
+def test_enum_no_followup_job_when_valid(spark):
+    """All-valid enum columns must stay a single job — the sample fetch only
+    fires on violation."""
+    from patito_spark.plans.checks import _enum_sample_values  # noqa: F401
+    from unittest import mock
+
+    class M(pt.Model):
+        column: Literal["a", "b"]
+
+    df = spark.createDataFrame([("a",), ("b",)], "column string")
+    with mock.patch(
+        "patito_spark.plans.checks._enum_sample_values",
+        side_effect=AssertionError("follow-up job ran on valid data"),
+    ):
+        M.validate(df)
+
+
 # ---------------------------------------------------------------------------
 # uniqueness (V7) — duplicated members all count (reference :731-748)
 # ---------------------------------------------------------------------------
