@@ -758,6 +758,46 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: SimHash candidate pairs → connected
+    components via iterative min-label propagation (one shuffle per round,
+    lineage cut per round) — the stage that turns pair lists into actual
+    dedup decisions.  The oracle recomputes the same pairs in SQL and
+    resolves components with a recursive transitive-closure CTE — a fully
+    independent formulation of the same graph semantics."""
+    from patito_spark.operators.components import connected_components
+    from patito_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    pairs = simhash_candidate_pairs(
+        docs, "doc_id", "text_norm", max_hamming=3, chunks=4, max_bucket_size=64
+    )
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def _sql_near_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pr AS ({_sql_simhash_pairs()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pr
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b))::BIGINT AS component
+FROM reach GROUP BY a
+"""
+
+
 def q_embedding_topk_blockwise(spark, sf_dir):
     """The Arrow/numpy blockwise ANN path, gate-checked against the same
     SQL oracle as the native-Column brute force (identical semantics)."""
@@ -2032,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
         "simhash_pairs": q_simhash_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_topk_blockwise": q_embedding_topk_blockwise,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -2087,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "near_dup_clusters": _sql_near_dup_clusters(),
         "embedding_topk_blockwise": SQL_EMBEDDING_TOPK,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "embedding_topk": SQL_EMBEDDING_TOPK,

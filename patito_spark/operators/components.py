@@ -1,0 +1,130 @@
+"""Connected components over candidate-pair graphs.
+
+The missing stage between pair generation (MinHash/SimHash/embedding LSH
+— ``operators.dedup``) and actual corpus deduplication: near-duplicate
+pairs form a graph whose connected components are the duplicate CLUSTERS;
+keeping one canonical document per component is what "dedup the corpus"
+means operationally.  The reference has no graph machinery (patito
+validates single tables); this is north-rule scale surface.
+
+Algorithm: iterative minimum-label propagation WITH pointer-doubling.
+Every node starts labelled with itself; each round (a) every node takes
+the min of its own label and its neighbours' labels (one edge-join +
+min-aggregate), then (b) labels shortcut through themselves
+(``label ← label(label)``, one self-join), which halves remaining path
+lengths — so convergence is O(log diameter) rounds, not O(diameter).
+Near-duplicate graphs have tiny diameters anyway (clusters are
+near-cliques from shared LSH buckets); real corpora settle in 2-4 rounds.
+Lineage is cut with ``localCheckpoint`` every round so the plan stays
+shallow instead of nesting one join per iteration — the standard Spark
+trap for iterative algorithms.
+
+Scale notes (100 TB): the edge list is the PAIR output, already bounded by
+the LSH bucket gates (``_bounded_buckets``) — |edges| ≪ |corpus|.  Label
+state is one row per node appearing in any pair (non-duplicates never
+enter).  The per-round shuffle carries (node, label) pairs — two bigints.
+A giant component (boilerplate cluster) degrades gracefully: min-label is
+a plain aggregate, no per-component materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Convergence bound: near-dup graphs have tiny diameters; 20 rounds covers
+#: pathological chains of length 2^20 under pointer-doubling-free
+#: propagation while still bounding a cyclic-input bug to finite work.
+DEFAULT_MAX_ITERATIONS = 20
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = DEFAULT_MAX_ITERATIONS,
+) -> DataFrame:
+    """``(node, component)`` for every node in *pairs*; ``component`` is the
+    smallest node id in the node's connected component.
+
+    Deterministic for any pair order/direction (edges are symmetrized).
+    Raises ``RuntimeError`` if the propagation has not converged after
+    ``max_iterations`` rounds — for near-duplicate graphs that means the
+    input is not the bounded pair list this operator is built for.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("_a"), F.col(a_col).alias("_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # (a) candidate labels reaching each node through one edge hop
+        via_edges = (
+            edges.join(labels, edges["_a"] == labels["node"])
+            .select(F.col("_b").alias("node"), "component")
+        )
+        hopped = (
+            labels.unionByName(via_edges)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # (b) pointer-doubling shortcut: follow the label's own label, so a
+        # length-L min-label path collapses in O(log L) rounds.  component
+        # values are node ids, so the self-join resolves every pointer; the
+        # coalesce is pure defensiveness for a component id equal to its
+        # own node (root) — the join still hits, but NULL-safety is free.
+        ptr = hopped.select(
+            F.col("node").alias("_c"), F.col("component").alias("_cc")
+        )
+        shortcut = hopped.join(
+            ptr, hopped["component"] == ptr["_c"], "left"
+        ).select("node", F.coalesce("_cc", "component").alias("component"))
+        # fold the convergence flag into the SAME materialization: the
+        # checkpoint is the one expensive action per round, and the change
+        # count afterwards is a scan of the already-materialized partitions
+        flagged = (
+            shortcut.join(
+                labels.select(
+                    "node", F.col("component").alias("_old")
+                ),
+                "node",
+            )
+            .select(
+                "node",
+                "component",
+                (F.col("component") != F.col("_old")).alias("_ch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = flagged.filter(F.col("_ch")).count()
+        labels = flagged.select("node", "component")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations — input does not look like a bounded near-dup pair list"
+    )
+
+
+def component_stats(components: DataFrame) -> DataFrame:
+    """Cluster-size distribution: ``(cluster_size, n_clusters)``.
+
+    The dedup planning view: how many pairs/triples/large clusters exist,
+    i.e. how many documents dedup would remove (``sum((size-1) *
+    n_clusters)``).  Driver-sized output for any corpus.
+    """
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )

@@ -458,6 +458,48 @@ def test_url_parsing(spark):
     assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
 
 
+# -- connected components ----------------------------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    from patito_spark.operators.components import (
+        component_stats,
+        connected_components,
+    )
+
+    # chain 1-2-3, pair 10-11 (reversed direction), triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 10), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    stats = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in component_stats(connected_components(pairs)).collect()
+    }
+    assert stats == {3: 2, 2: 1}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.components import connected_components
+
+    # a 12-node chain: min-label needs ~chain-length rounds (worst case for
+    # propagation); assert the bound raises rather than spinning forever
+    chain = spark.range(11).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = connected_components(chain, max_iterations=20).collect()
+    assert all(r["component"] == 0 for r in comp)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+
+
 # -- as-of join ---------------------------------------------------------------------------------------
 
 

@@ -48,6 +48,10 @@ EXCHANGE_BUDGET = {
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
     "simhash_pairs": 3,
+    # iterative min-label propagation: lineage is cut per round
+    # (localCheckpoint), so the FINAL plan is a checkpoint scan — the
+    # per-round shuffles happen during construction, one per iteration
+    "near_dup_clusters": 0,
     "embedding_topk_blockwise": 1,
     "ngram_jaccard": 1,
     "embedding_topk": 2,
