@@ -115,6 +115,29 @@ def connected_components(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical document (the smallest id) per near-duplicate
+    cluster: resolve *pairs* into components, then anti-join the
+    non-canonical members out of *df*.
+
+    The loser set is |nodes in pairs| − |clusters| rows — small relative to
+    the corpus — so the anti join broadcasts under AQE and the corpus never
+    shuffles.
+    """
+    losers = connected_components(pairs, a_col, b_col).filter(
+        F.col("node") != F.col("component")
+    )
+    return df.join(
+        losers, df[id_col] == losers["node"], "left_anti"
+    )
+
+
 def component_stats(components: DataFrame) -> DataFrame:
     """Cluster-size distribution: ``(cluster_size, n_clusters)``.
 

@@ -484,6 +484,21 @@ def test_connected_components_basic(spark):
     assert stats == {3: 2, 2: 1}
 
 
+def test_drop_near_duplicates_keeps_canonical(spark):
+    from patito_spark.operators.components import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4)], "id_a long, id_b long"
+    )  # cluster {1,2,4} → keep 1; docs 0,3,5 untouched
+    kept = sorted(
+        r["doc_id"] for r in drop_near_duplicates(docs, "doc_id", pairs).collect()
+    )
+    assert kept == [0, 1, 3, 5]
+
+
 def test_connected_components_long_chain_converges(spark):
     from pyspark.sql import functions as F
 
