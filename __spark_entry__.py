@@ -544,6 +544,86 @@ WHERE f < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.4
 """
 
 
+def q_split_contamination(spark, sf_dir):
+    """Benchmark decontamination: every test-split document scored by the
+    fraction of its distinct word 3-grams that occur anywhere in the
+    train split — the standard n-gram-overlap leak check run before
+    training.  Splits come from the deterministic md5 hash_split rule, so
+    both engines derive identical train/test membership AND identical
+    n-gram sets."""
+    from patito_spark.operators.contamination import ngram_contamination
+    from patito_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
+    ev = split.filter(F.col("split") == "test")
+    tr = split.filter(F.col("split") == "train")
+    out = ngram_contamination(ev, tr, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_contaminated",
+        F.round("fraction", 6).alias("fraction"),
+    )
+
+
+def _sql_split_contamination(salt: str = "split") -> str:
+    # same cumulative-weight reprs as _sql_hash_split({'train':8,'val':1,
+    # 'test':1}): sorted labels [test, train, val] → test < 0.1, train < 0.9
+    weights = {"train": 8, "val": 1, "test": 1}
+    total = float(sum(weights.values()))
+    labels = sorted(weights)
+    cumulative = 0.0
+    cases = []
+    for label in labels[:-1]:
+        cumulative += weights[label] / total
+        cases.append(f"WHEN f < {cumulative!r} THEN '{label}'")
+    case_sql = " ".join(cases)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         (('0x' || substring(md5(doc_id::VARCHAR || '{salt}'), 1, 15))::BIGINT
+          % 1000000) / 1000000.0 AS f
+  FROM documents
+), lab AS (
+  SELECT doc_id, text,
+         CASE {case_sql} ELSE '{labels[-1]}' END AS split
+  FROM base
+), tok AS (
+  SELECT doc_id, split,
+         list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '') AS w
+  FROM lab WHERE split IN ('test', 'train')
+), sh AS (
+  SELECT doc_id, split,
+         list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END) AS ds
+  FROM tok
+), ev_pairs AS (
+  SELECT doc_id, u.g FROM sh, unnest(ds) AS u(g) WHERE split = 'test'
+), train_set AS (
+  SELECT DISTINCT u.g FROM sh, unnest(ds) AS u(g) WHERE split = 'train'
+), marked AS (
+  SELECT p.doc_id, CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ev_pairs p LEFT JOIN train_set t ON p.g = t.g
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_ngrams, sum(hit)::BIGINT AS n_contaminated
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(a.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(CASE WHEN coalesce(a.n_ngrams, 0) > 0
+                  THEN a.n_contaminated / a.n_ngrams::DOUBLE
+                  ELSE 0.0 END, 6) AS fraction
+FROM (SELECT doc_id FROM sh WHERE split = 'test') d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash LSH candidate pairs with duplicated documents planted by
     construction? No — run directly on the real table: both engines see the
@@ -2068,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": q_pii_counts,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "split_contamination": q_split_contamination,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
@@ -2124,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts": _sql_pii_counts(),
         "hash_split": _sql_hash_split(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "split_contamination": _sql_split_contamination(),
         "minhash_pairs": _sql_minhash_pairs(),
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),

@@ -1,0 +1,103 @@
+"""Train/eval n-gram contamination (benchmark decontamination).
+
+A core training-data-pipeline check the reference has no analogue for:
+before training, every evaluation document is scored by how many of its
+distinct word n-grams also occur anywhere in the training corpus — the
+standard n-gram-overlap decontamination signal.  High-fraction eval docs
+are leaked into the training set and must be dropped (from train or from
+the benchmark) before any honest evaluation.
+
+Scale design (100 TB train corpus, benchmark-sized eval set):
+
+- The TRAIN side — the huge one — is scanned ONCE and never shuffled by
+  n-gram: its exploded shingles are semi-joined against a broadcast of the
+  eval n-gram set (eval benchmarks are tiny by construction), producing the
+  contaminated-n-gram set, which is at most |eval n-grams|.
+- Both joins carry 16-hex md5 prefixes, never shingle text.
+- When the eval side is NOT small (corpus-vs-corpus overlap), the same
+  plan-size estimate used by ``plans.uniqueness.referential_violations``
+  flips the semi join to a shuffle join that AQE can still re-plan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles_from_tokens
+from ..plans.uniqueness import BROADCAST_SIZE_THRESHOLD, _estimated_bytes
+from .dedup import _materialize
+
+
+def _doc_ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc id, distinct shingle md5-prefix) pairs; 0-shingle docs keep one
+    NULL row so they survive to the per-doc aggregate."""
+    staged = _materialize(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        _toks=tokens(F.col("_text")),
+    )
+    staged = _materialize(
+        staged, _sh=word_shingles_from_tokens(F.col("_toks"), n)
+    )
+    return staged.select(
+        "_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.col("_sh"),
+                    lambda s: F.substring(F.md5(s), 1, 16),
+                )
+            )
+        ).alias("_h"),
+    )
+
+
+def ngram_contamination(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_eval: Optional[bool] = None,
+) -> DataFrame:
+    """Per-eval-document contamination vs the training corpus.
+
+    Returns ``(doc id, n_ngrams, n_contaminated, fraction)``: the count of
+    the document's DISTINCT word *n*-grams, how many of those occur
+    anywhere in *train_df*, and their ratio (0.0 for documents with no
+    *n*-gram, deterministically).  Typical gate: drop eval docs with
+    ``fraction`` above ~0.1-0.3, or excise the matching train docs.
+    """
+    ev = _doc_ngram_hashes(eval_df, id_col, text_col, n)
+    eval_set = ev.select("_h").filter(F.col("_h").isNotNull()).distinct()
+    if broadcast_eval is None:
+        broadcast_eval = (
+            _estimated_bytes(eval_df.select(text_col)) <= BROADCAST_SIZE_THRESHOLD
+        )
+    probe = F.broadcast(eval_set) if broadcast_eval else eval_set
+    tr = _doc_ngram_hashes(train_df, id_col, text_col, n).filter(
+        F.col("_h").isNotNull()
+    )
+    hits = (
+        tr.select("_h").join(probe, "_h", "left_semi").distinct()
+    )
+    marked = ev.join(
+        F.broadcast(hits.withColumn("_hit", F.lit(1))) if broadcast_eval
+        else hits.withColumn("_hit", F.lit(1)),
+        "_h",
+        "left",
+    )
+    return marked.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count("_h").alias("n_ngrams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+    ).withColumn(
+        "fraction",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.col("n_contaminated") / F.col("n_ngrams"),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -458,6 +458,53 @@ def test_url_parsing(spark):
     assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
 
 
+# -- train/eval contamination ------------------------------------------------------------------------
+
+
+def test_ngram_contamination_planted_leak(spark):
+    from patito_spark.operators.contamination import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training material here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps"),  # fully contained in train
+            (101, "novel words appear nowhere else"),  # clean
+            (102, None),  # no text → 0 ngrams, fraction 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["fraction"])
+        for r in ngram_contamination(ev, train, "doc_id", "text", n=3).collect()
+    }
+    # doc 100: 3 trigrams, all present in train doc 1
+    assert out[100] == (3, 3, 1.0)
+    # doc 101: 3 trigrams, none in train
+    assert out[101] == (3, 0, 0.0)
+    assert out[102] == (0, 0, 0.0)
+
+
+def test_ngram_contamination_counts_distinct_ngrams_once(spark):
+    from patito_spark.operators.contamination import ngram_contamination
+
+    # repeated trigram in the eval doc counts once (distinct n-grams)
+    train = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "a b c a b c")], "doc_id long, text string"
+    )
+    (row,) = ngram_contamination(ev, train, "doc_id", "text", n=3).collect()
+    # trigrams of [a b c a b c]: "a b c", "b c a", "c a b", "a b c" →
+    # 3 distinct, one of which ("a b c") is in train
+    assert (row["n_ngrams"], row["n_contaminated"]) == (3, 1)
+    assert row["fraction"] == pytest.approx(1 / 3)
+
+
 # -- connected components ----------------------------------------------------------------------------
 
 

@@ -44,6 +44,10 @@ EXCHANGE_BUDGET = {
     "pii_counts": 0,
     "hash_split": 1,
     "stratified_sample": 0,
+    # eval-ngram distinct (1) + contaminated-set semi-join distinct (2) +
+    # the final per-doc aggregate (1); the train side is scanned against a
+    # broadcast eval set and never shuffles by n-gram
+    "split_contamination": 5,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
