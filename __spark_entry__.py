@@ -544,6 +544,58 @@ WHERE f < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.4
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-then-chunk sequence packing: every document's
+    (stream, pack, token offset) under a 256-token budget across 8
+    md5-dealt streams — the distributed bookkeeping for training-batch
+    assembly, reproducible across runs/engines/partitionings.  The oracle
+    reproduces the stream deal, the (md5, id) order, and the running-token
+    window in SQL."""
+    from patito_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(), F.size(_tokens(F.col("text")))
+        )
+        .otherwise(F.lit(0))
+        .alias("ntok"),
+    )
+    packed = pack_sequences(docs, "doc_id", "ntok", budget=256, streams=8)
+    return packed.select(
+        "doc_id",
+        F.col("stream").cast("long").alias("stream"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split_regex(lower(text), '{TOK_SQL}'),
+                                   x -> x <> '')) END AS ntok,
+         md5(doc_id::VARCHAR || 'pack') AS ok
+  FROM documents
+), s AS (
+  SELECT doc_id, ntok, ok,
+         ('0x' || substring(ok, 1, 15))::BIGINT % 8 AS stream
+  FROM t
+), c AS (
+  SELECT doc_id, stream,
+         coalesce(sum(ntok) OVER (
+           PARTITION BY stream ORDER BY ok, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM s
+)
+SELECT doc_id, stream::BIGINT AS stream,
+       (cb // 256)::BIGINT AS pack_id,
+       (cb % 256)::BIGINT AS tok_start
+FROM c
+"""
+
+
 def q_split_contamination(spark, sf_dir):
     """Benchmark decontamination: every test-split document scored by the
     fraction of its distinct word 3-grams that occur anywhere in the
@@ -2149,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "split_contamination": q_split_contamination,
+        "pack_sequences": q_pack_sequences,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
@@ -2206,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _sql_hash_split(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "split_contamination": _sql_split_contamination(),
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "minhash_pairs": _sql_minhash_pairs(),
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),

@@ -458,6 +458,41 @@ def test_url_parsing(spark):
     assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
 
 
+# -- sequence packing --------------------------------------------------------------------------------
+
+
+def test_pack_sequences_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("ntok")
+    )
+    packed = pack_sequences(docs, "doc_id", "ntok", budget=128, streams=4)
+    rows = packed.collect()
+    assert len(rows) == 200
+    # tok_start always inside the budget; streams in range
+    assert all(0 <= r["tok_start"] < 128 for r in rows)
+    assert all(0 <= r["stream"] < 4 for r in rows)
+    # within a stream, pack_id follows the running cumsum exactly
+    by_stream = {}
+    for r in sorted(rows, key=lambda r: (r["stream"], r["pack_id"], r["tok_start"], r["doc_id"])):
+        cum = by_stream.get(r["stream"], 0)
+        assert r["pack_id"] == cum // 128 and r["tok_start"] == cum % 128
+        by_stream[r["stream"]] = cum + r["ntok"]
+    # deterministic under input re-partitioning
+    again = pack_sequences(
+        docs.repartition(13), "doc_id", "ntok", budget=128, streams=4
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+    stats = packing_stats(packed, "ntok", 128).collect()
+    assert sum(s["n_docs"] for s in stats) == 200
+    assert all(0 < s["fill_rate"] <= 1.0 for s in stats)
+    with pytest.raises(ValueError, match="budget must be positive"):
+        pack_sequences(docs, "doc_id", "ntok", budget=0)
+
+
 # -- train/eval contamination ------------------------------------------------------------------------
 
 

@@ -48,6 +48,8 @@ EXCHANGE_BUDGET = {
     # the final per-doc aggregate (1); the train side is scanned against a
     # broadcast eval set and never shuffles by n-gram
     "split_contamination": 5,
+    # one hashpartitioning(stream) exchange + local window sort
+    "pack_sequences": 1,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
