@@ -381,3 +381,75 @@ def test_rollup_stream_watermarked_append(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {base: (2, 3.0), base + dt.timedelta(minutes=1): (1, 10.0)}
+
+
+def test_dedup_stream_batch_parity(spark):
+    # same fingerprint construction as the batch dedup family: normalized
+    # text collapses case/whitespace variants into one canonical row
+    from patito_spark.streaming.dedup import dedup_stream
+
+    base = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World", base),
+            (2, "hello world", base),
+            (3, "other doc", base),
+        ],
+        "id long, text string, ts timestamp",
+    )
+    out = dedup_stream(df, "text", "ts")
+    assert out.count() == 2
+    assert "fingerprint" in out.columns
+
+
+def test_dedup_stream_watermark_bounded_state(spark, tmp_path):
+    """Duplicates within the watermark horizon are suppressed; once the
+    watermark passes a fingerprint's expiry its state is evicted and an
+    old re-crawl is admitted again — bounded state, by design."""
+    from patito_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ck")
+    sink = str(tmp_path / "kept")
+    schema = "id long, text string, ts timestamp"
+    base = dt.datetime(2024, 5, 1)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = dedup_stream(stream, "text", "ts", watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed(
+        [
+            (1, "aaa", base),
+            (2, "aaa", base + dt.timedelta(seconds=30)),  # dup, suppressed
+            (3, "bbb", base + dt.timedelta(seconds=30)),
+        ]
+    )
+    run()
+    assert spark.read.parquet(sink).count() == 2
+    # state for "aaa" still within the horizon at processing time → dropped
+    feed([(4, "aaa", base + dt.timedelta(minutes=30))])
+    run()
+    assert spark.read.parquet(sink).count() == 2
+    # by now the watermark passed aaa's expiry → state evicted → re-admitted
+    feed([(5, "aaa", base + dt.timedelta(minutes=40))])
+    run()
+    kept = spark.read.parquet(sink)
+    assert kept.count() == 3
+    assert sorted(r["id"] for r in kept.collect())[:2] == [1, 3]
