@@ -544,6 +544,46 @@ WHERE f < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.4
 """
 
 
+def q_keyword_tfidf(spark, sf_dir):
+    """Corpus-relative keyword extraction: top-3 terms per document by
+    tf × rational smoothed idf ((N+1)/(df+1) — integer-derived and one
+    correctly-rounded division, so scores are bit-identical across
+    engines; log-idf would rank identically but is not 1-ulp portable).
+    min_df=2 suppresses hapax noise."""
+    from patito_spark.operators.keywords import keyword_tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_tfidf(docs, "doc_id", "text", k=3, min_df=2)
+
+
+SQL_KEYWORD_TFIDF = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOK_SQL}'), x -> x <> '') AS w
+  FROM documents
+), pairs AS (
+  SELECT doc_id, u.t FROM t, unnest(w) AS u(t)
+), tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf FROM pairs GROUP BY doc_id, t
+), dfq AS (
+  SELECT t, count(*)::BIGINT AS dfc FROM tf GROUP BY t
+), n AS (
+  SELECT count(*)::BIGINT AS nd FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.t, tf.tf,
+         tf.tf * (n.nd + 1)::DOUBLE / (dfq.dfc + 1) AS score
+  FROM tf JOIN dfq USING (t), n
+  WHERE dfq.dfc >= 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, t ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, t AS term, tf, round(score, 6) AS score, rank::INTEGER AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic concat-then-chunk sequence packing: every document's
     (stream, pack, token offset) under a 256-token budget across 8
@@ -2202,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "split_contamination": q_split_contamination,
         "pack_sequences": q_pack_sequences,
+        "keyword_tfidf": q_keyword_tfidf,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
@@ -2260,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "split_contamination": _sql_split_contamination(),
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "keyword_tfidf": SQL_KEYWORD_TFIDF,
         "minhash_pairs": _sql_minhash_pairs(),
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),

@@ -458,6 +458,34 @@ def test_url_parsing(spark):
     assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
 
 
+# -- keyword extraction ------------------------------------------------------------------------------
+
+
+def test_keyword_tfidf_ranks_rare_terms_first(spark):
+    from patito_spark.operators.keywords import keyword_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare common"),
+            (2, "common filler filler"),
+            (3, "common words words words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyword_tfidf(docs, "doc_id", "text", k=2, min_df=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"]))
+    # doc 1: 'rare' (df=1, idf=2) vs 'common' tf=3 (df=3, idf=1) →
+    # common: 3*1=3, rare: 1*2=2 → common first
+    assert sorted(by_doc[1]) == [(1, "common", 3), (2, "rare", 1)]
+    # doc 2: filler tf=2 df=1 → 2*2=4 beats common 1*1=1
+    assert sorted(by_doc[2]) == [(1, "filler", 2), (2, "common", 1)]
+    # min_df=2 drops every df=1 term
+    strict = keyword_tfidf(docs, "doc_id", "text", k=2, min_df=2).collect()
+    assert {r["term"] for r in strict} == {"common"}
+
+
 # -- sequence packing --------------------------------------------------------------------------------
 
 

@@ -50,6 +50,10 @@ EXCHANGE_BUDGET = {
     "split_contamination": 5,
     # one hashpartitioning(stream) exchange + local window sort
     "pack_sequences": 1,
+    # explode → tf groupBy + docfreq groupBy + term-keyed join (both
+    # sides) + per-doc window; AQE can still broadcast the vocabulary
+    # side at runtime, which removes one exchange
+    "keyword_tfidf": 5,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
