@@ -33,6 +33,7 @@ from .errors import (
     SuperfluousColumnsError,
     WrongColumnsError,
 )
+from .evolution import diff_models
 from .expr import Expr, col, field, lit
 from .frame import DataFrame, ModelGenerator
 from .frame import DataFrame as LazyFrame  # Spark frames are lazy already
@@ -46,6 +47,7 @@ __all__ = [
     "DataFrame",
     "LazyFrame",
     "ModelGenerator",
+    "diff_models",
     "exceptions",
     "Expr",
     "col",

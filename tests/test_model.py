@@ -395,3 +395,77 @@ def test_example_unique_sequence(spark):
     df = M.examples({"val": ["x", "y", "z"]}, spark=spark)
     rows = sorted(r["uid"] for r in df.collect())
     assert rows == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution diff (diff_models)
+# ---------------------------------------------------------------------------
+
+
+def test_diff_models_identical_is_clean():
+    class V1(pt.Model):
+        a: int
+        b: Optional[str]
+
+    assert pt.diff_models(V1, V1) == {
+        "added": [],
+        "removed": [],
+        "retyped": [],
+        "nullability": [],
+        "constraints": [],
+        "breaking": False,
+    }
+
+
+def test_diff_models_classifies_breaking_changes():
+    class Old(pt.Model):
+        a: int
+        b: Optional[str]
+        c: float = pt.Field(ge=0.0)
+        gone: int
+
+    class New(pt.Model):
+        a: int  # unchanged
+        b: str  # tightened nullability → breaking
+        c: float = pt.Field(ge=10.0)  # raised lower bound → breaking
+        extra_req: int  # added non-nullable, no default → breaking
+        extra_opt: Optional[str]  # added nullable → fine
+
+    d = pt.diff_models(Old, New)
+    assert d["breaking"] is True
+    assert {e["column"]: e["breaking"] for e in d["added"]} == {
+        "extra_req": True,
+        "extra_opt": False,
+    }
+    assert d["removed"] == [{"column": "gone", "breaking": True}]
+    (nul,) = d["nullability"]
+    assert (nul["column"], nul["breaking"]) == ("b", True)
+    (con,) = d["constraints"]
+    assert con["column"] == "c" and con["breaking"] is True and con["changed"] == ["ge"]
+
+
+def test_diff_models_widening_and_loosening_not_breaking():
+    class Old(pt.Model):
+        n: int = pt.Field(dtype="int", le=100)
+        lang: str = pt.Field(allowed=["en", "de"])
+
+    class New(pt.Model):
+        n: int = pt.Field(dtype="bigint", le=200)  # widen type, loosen bound
+        lang: str = pt.Field(allowed=["en", "de", "fr"])  # domain grew
+
+    d = pt.diff_models(Old, New)
+    assert d["breaking"] is False
+    (rt,) = d["retyped"]
+    assert (rt["old"], rt["new"], rt["breaking"]) == ("int", "bigint", False)
+    assert all(not c["breaking"] for c in d["constraints"])
+
+
+def test_diff_models_narrowing_type_breaks():
+    class Old(pt.Model):
+        n: int = pt.Field(dtype="bigint")
+
+    class New(pt.Model):
+        n: int = pt.Field(dtype="int")
+
+    d = pt.diff_models(Old, New)
+    assert d["breaking"] is True and d["retyped"][0]["breaking"] is True

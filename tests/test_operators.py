@@ -594,6 +594,52 @@ def test_connected_components_basic(spark):
     assert stats == {3: 2, 2: 1}
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Distributed min-label + pointer-doubling agrees with a driver-side
+    union-find on seeded random graphs (cliques, chains, isolates mixed)."""
+    import random
+
+    from patito_spark.operators.components import connected_components
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(2, 30)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 40))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected: min node id per component, only for nodes in edges
+        nodes = {x for e in edges for x in e}
+        roots = {}
+        for x in nodes:
+            r = find(x)
+            roots.setdefault(r, []).append(x)
+        expected = {
+            x: min(members) for members in roots.values() for x in members
+        }
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"seed {seed}"
+
+
 def test_drop_near_duplicates_keeps_canonical(spark):
     from patito_spark.operators.components import drop_near_duplicates
 
