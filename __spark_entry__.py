@@ -544,6 +544,34 @@ WHERE f < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.4
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """Hard per-source cap (hot-domain crawl budgeting): keep the 20
+    longest documents per source, doc_id tiebreak — the absolute bound
+    rate-based sampling can't give a hot domain.  One
+    hashpartitioning(source) exchange, local per-group sort."""
+    from patito_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs,
+        "source",
+        k=20,
+        order_by=[F.col("n_chars").desc()],
+        id_col="doc_id",
+    ).select("doc_id", "source", "n_chars")
+
+
+SQL_DOMAIN_CAP = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 20
+"""
+
+
 def q_keyword_tfidf(spark, sf_dir):
     """Corpus-relative keyword extraction: top-3 terms per document by
     tf × rational smoothed idf ((N+1)/(df+1) — integer-derived and one
@@ -2243,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_contamination": q_split_contamination,
         "pack_sequences": q_pack_sequences,
         "keyword_tfidf": q_keyword_tfidf,
+        "domain_cap": q_domain_cap,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
@@ -2302,6 +2331,7 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": _sql_split_contamination(),
         "pack_sequences": SQL_PACK_SEQUENCES,
         "keyword_tfidf": SQL_KEYWORD_TFIDF,
+        "domain_cap": SQL_DOMAIN_CAP,
         "minhash_pairs": _sql_minhash_pairs(),
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),

@@ -10,7 +10,7 @@ re-run on a grown table keeps previously-assigned rows in the same split.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -125,3 +125,39 @@ def stratified_sample(
         salt,
     )
     return df.filter(frac < rate_expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_by: Optional[list] = None,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Keep at most *k* rows per group — hot-domain crawl budgeting.
+
+    Rate-based sampling (:func:`stratified_sample`) cannot bound a hot
+    group absolutely: 0.1% of a boilerplate domain with 10^9 pages is
+    still 10^6 pages.  This operator enforces a hard per-group cap,
+    keeping the TOP rows by *order_by* (e.g. a quality score descending)
+    with *id_col* as the deterministic tiebreaker.
+
+    One ``hashpartitioning(group)`` exchange + local sort per group — no
+    global sort.  Groups larger than executor spill budgets are fine (the
+    window sort spills); rank state is one counter per group.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    order = list(order_by or [])
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    if not order:
+        raise ValueError("pass order_by= and/or id_col= (deterministic order)")
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -458,6 +458,30 @@ def test_url_parsing(spark):
     assert hot[0]["rows"] == 2 and hot[0]["domain"] == "example.com"
 
 
+# -- per-group cap -----------------------------------------------------------------------------------
+
+
+def test_cap_per_group_keeps_top_k(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 5)],
+        "g string, id long, score long",
+    )
+    kept = cap_per_group(
+        df, "g", k=2, order_by=[F.col("score").desc()], id_col="id"
+    )
+    rows = {(r["g"], r["id"]) for r in kept.collect()}
+    assert rows == {("a", 2), ("a", 3), ("b", 4)}
+    assert "_rk" not in kept.columns
+    with pytest.raises(ValueError, match="k must be positive"):
+        cap_per_group(df, "g", k=0, id_col="id")
+    with pytest.raises(ValueError, match="deterministic order"):
+        cap_per_group(df, "g", k=1)
+
+
 # -- keyword extraction ------------------------------------------------------------------------------
 
 

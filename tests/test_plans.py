@@ -54,6 +54,8 @@ EXCHANGE_BUDGET = {
     # sides) + per-doc window; AQE can still broadcast the vocabulary
     # side at runtime, which removes one exchange
     "keyword_tfidf": 5,
+    # one hashpartitioning(source) exchange + local per-group sort
+    "domain_cap": 1,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
