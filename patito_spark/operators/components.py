@@ -29,7 +29,9 @@ a plain aggregate, no per-component materialization anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Convergence bound: near-dup graphs have tiny diameters; 20 rounds covers
@@ -121,18 +123,40 @@ def drop_near_duplicates(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    keep_by: Optional[Column] = None,
 ) -> DataFrame:
-    """Keep one canonical document (the smallest id) per near-duplicate
-    cluster: resolve *pairs* into components, then anti-join the
-    non-canonical members out of *df*.
+    """Keep one canonical document per near-duplicate cluster: resolve
+    *pairs* into components, then anti-join the non-canonical members out
+    of *df*.
+
+    By default the smallest id survives.  With ``keep_by`` (e.g.
+    ``F.col("quality_score").desc()``) the best row per cluster survives
+    instead — the usual production choice: near-duplicates differ in
+    boilerplate/truncation, and dedup should keep the best copy, with id
+    ascending as the deterministic tiebreaker.
 
     The loser set is |nodes in pairs| − |clusters| rows — small relative to
     the corpus — so the anti join broadcasts under AQE and the corpus never
-    shuffles.
+    shuffles.  The ``keep_by`` ranking runs only over pair members (a
+    window per component on the small side), never the corpus.
     """
-    losers = connected_components(pairs, a_col, b_col).filter(
-        F.col("node") != F.col("component")
-    )
+    comps = connected_components(pairs, a_col, b_col)
+    if keep_by is None:
+        losers = comps.filter(F.col("node") != F.col("component"))
+    else:
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        scored = comps.join(
+            df.select(F.col(id_col).alias("node"), "*"), "node"
+        )
+        w = Window.partitionBy("component").orderBy(
+            keep_by, F.col("node").asc()
+        )
+        losers = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select("node")
+        )
     return df.join(
         losers, df[id_col] == losers["node"], "left_anti"
     )

@@ -679,6 +679,26 @@ def test_drop_near_duplicates_keeps_canonical(spark):
     assert kept == [0, 1, 3, 5]
 
 
+def test_drop_near_duplicates_keep_by_quality(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.components import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (4, 0.9), (5, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    # cluster {1,2,4}: keep the best quality, id-asc tiebreak → 2 survives
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            docs, "doc_id", pairs, keep_by=F.col("quality").desc()
+        ).collect()
+    )
+    assert kept == [2, 5]
+
+
 def test_connected_components_long_chain_converges(spark):
     from pyspark.sql import functions as F
 
