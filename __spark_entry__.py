@@ -544,6 +544,49 @@ WHERE f < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.4
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """REAL HTML→text extraction, oracle-checked: each document's text is
+    entity-escaped and wrapped into a full HTML page (head + script that
+    must be dropped, heading + entity paragraph that must survive), the
+    binary payload goes through the production mapInPandas extractor, and
+    the result is hash-compared against DuckDB computing the expected
+    visible text directly from the raw column — so tag stripping,
+    script-subtree removal, entity resolution, and whitespace collapsing
+    are all gated, not just plumbing."""
+    from patito_spark.operators.htmltext import extract_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit(
+                '<html><head><script>if (1 < 2) { var x = "&amp;"; }'
+                "</script><style>p { color: red; }</style></head>"
+                "<body><h1>T</h1><p>A &amp; B</p><p>"
+            ),
+            esc,
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = docs.select(F.col("doc_id").alias("id"), payload.alias("html"))
+    out = extract_text(pages, "id", "html")
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
+SQL_HTML_EXTRACT = r"""
+SELECT doc_id,
+       trim('T A & B ' || regexp_replace(trim(text), '\s+', ' ', 'g')) AS text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_domain_cap(spark, sf_dir):
     """Hard per-source cap (hot-domain crawl budgeting): keep the 20
     longest documents per source, doc_id tiebreak — the absolute bound
@@ -2272,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "keyword_tfidf": q_keyword_tfidf,
         "domain_cap": q_domain_cap,
+        "html_extract": q_html_extract,
         "minhash_pairs": q_minhash_pairs,
         "minhash_bucket_audit": q_minhash_bucket_audit,
         "simhash_values": q_simhash_values,
@@ -2332,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": SQL_PACK_SEQUENCES,
         "keyword_tfidf": SQL_KEYWORD_TFIDF,
         "domain_cap": SQL_DOMAIN_CAP,
+        "html_extract": SQL_HTML_EXTRACT,
         "minhash_pairs": _sql_minhash_pairs(),
         "minhash_bucket_audit": _sql_minhash_bucket_audit(),
         "simhash_values": _sql_simhash(),

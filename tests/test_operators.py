@@ -1562,3 +1562,43 @@ def test_sessionize_property_matches_reference(spark, events, gap):
                 seq += 1
             prev = t
             assert got[(uid, base + dtm.timedelta(seconds=t))] == seq
+
+
+# -- HTML text extraction ----------------------------------------------------------------------------
+
+
+def test_extract_text_bytes_semantics():
+    from patito_spark.operators.htmltext import extract_text_bytes
+
+    html = (
+        b"<html><head><title>skip? no - title is text</title>"
+        b"<script>var a = '<p>not text</p>';</script>"
+        b"<style>p{}</style></head>"
+        b"<body><h1>Head</h1><p>A &amp; B &lt;tag&gt; &#65;</p>"
+        b"<div>spaced<br>words</div><b>in</b>line</body></html>"
+    )
+    out = extract_text_bytes(html)
+    # script/style dropped, entities resolved, blocks separate words,
+    # inline tags do NOT split words
+    assert "not text" not in out
+    assert "A & B <tag> A" in out
+    assert "spaced words" in out
+    assert "inline" in out
+    assert extract_text_bytes(b"") == ""
+    # malformed / non-utf8 payloads degrade, never raise
+    assert isinstance(extract_text_bytes(b"\xff\xfe<p>x</p"), str)
+    assert extract_text_bytes(b"<p>unclosed") == "unclosed"
+
+
+def test_extract_text_mapinpandas(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.htmltext import extract_text
+
+    df = spark.createDataFrame(
+        [(1, b"<body><p>hello</p><p>world</p></body>"), (2, None)],
+        "id long, html binary",
+    )
+    out = {r["id"]: (r["text"], r["extract_error"]) for r in extract_text(df, "id", "html").collect()}
+    assert out[1] == ("hello world", None)
+    assert out[2] == ("", None)  # NULL payload → empty text, not an error

@@ -56,6 +56,8 @@ EXCHANGE_BUDGET = {
     "keyword_tfidf": 5,
     # one hashpartitioning(source) exchange + local per-group sort
     "domain_cap": 1,
+    # sanctioned Arrow mapInPandas over one scan, no shuffle
+    "html_extract": 0,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
@@ -103,6 +105,7 @@ ARROW_OK = {
     "multimodal_byte_hist",
     "image_decode_meta",
     "audio_decode_meta",
+    "html_extract",
 }
 
 #: broadcast nested-loop over a tiny side (probes / literal grid)
