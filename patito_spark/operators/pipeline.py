@@ -52,6 +52,90 @@ def clean_corpus(
     return out
 
 
+def prepare_training_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    eval_df: Optional[DataFrame] = None,
+    allowed_langs: Optional[Sequence[str]] = None,
+    min_chars: Optional[int] = None,
+    min_quality: Optional[float] = None,
+    near_dup_threshold: float = 0.7,
+    contamination_max: float = 0.2,
+    contamination_n: int = 8,
+    lang_fractions: Optional[dict] = None,
+    pack_budget: Optional[int] = None,
+) -> DataFrame:
+    """The full training-data build, end to end:
+
+    1. :func:`clean_corpus` — language/length/quality filters (scan-side
+       predicates) + exact dedup (one fingerprint shuffle);
+    2. near-duplicate removal — MinHash pairs → connected components →
+       one best-id survivor per cluster (bounded buckets, broadcast
+       anti join, corpus never shuffles by n-gram);
+    3. decontamination (when *eval_df* is given) — drop training docs
+       whose distinct n-gram overlap with the evaluation set exceeds
+       *contamination_max* (train side scanned once vs a broadcast eval
+       n-gram set);
+    4. per-language balancing (when *lang_fractions* is given) —
+       deterministic per-stratum hash sampling;
+    5. sequence packing (when *pack_budget* is given) — concat-then-chunk
+       ``(stream, pack_id, tok_start)`` assignment, token counts from the
+       whitespace tokenizer.
+
+    Each stage is the standalone operator documented in COVERAGE.md; this
+    function is the composition a user runs when they want "the corpus,
+    ready to train on" in one call.  Returns the surviving rows (with the
+    packing columns when requested).
+    """
+    from .components import drop_near_duplicates
+    from .dedup import minhash_dedup_pairs
+    from .sampling import stratified_sample
+
+    out = clean_corpus(
+        df,
+        id_col,
+        text_col,
+        lang_col=lang_col,
+        allowed_langs=allowed_langs,
+        min_chars=min_chars,
+        min_quality=min_quality,
+    )
+    pairs = minhash_dedup_pairs(
+        out, id_col, text_col, threshold=near_dup_threshold
+    )
+    out = drop_near_duplicates(out, id_col, pairs)
+    if eval_df is not None:
+        from .contamination import ngram_contamination
+
+        scores = ngram_contamination(
+            out, eval_df, id_col, text_col, n=contamination_n
+        )
+        # NOTE direction: here we score TRAIN docs against the EVAL set
+        # (drop leaked train docs, keep the benchmark intact)
+        dirty = scores.filter(
+            F.col("fraction") > contamination_max
+        ).select(F.col(id_col).alias("_dirty_id"))
+        out = out.join(
+            dirty, out[id_col] == F.col("_dirty_id"), "left_anti"
+        )
+    if lang_fractions:
+        out = stratified_sample(out, id_col, lang_col, lang_fractions)
+    if pack_budget is not None:
+        from ..functions.text import token_count
+        from .packing import pack_sequences
+
+        out = out.withColumn(
+            "_ntok",
+            F.when(
+                F.col(text_col).isNotNull(), token_count(F.col(text_col))
+            ).otherwise(0),
+        )
+        out = pack_sequences(out, id_col, "_ntok", pack_budget).drop("_ntok")
+    return out
+
+
 def clean_corpus_stats(cleaned: DataFrame, original: DataFrame) -> DataFrame:
     """One-row retention report for a cleaning run."""
     kept = cleaned.count()

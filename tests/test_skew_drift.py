@@ -149,3 +149,54 @@ def test_clean_corpus_stages(spark):
     assert kept == [1, 6]  # lowest id wins the dup group
     stats = clean_corpus_stats(cleaned, df).collect()[0]
     assert stats["rows_in"] == 6 and stats["rows_kept"] == 2
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """The one-call composition: filter → exact+near dedup → decontaminate
+    → balance → pack, each stage observable in the output."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.pipeline import prepare_training_corpus
+
+    base = [
+        (i, "en", f"document number {i} with some unique filler words w{i} x{i} y{i} z{i} a{i} b{i}")
+        for i in range(40)
+    ]
+    rows = (
+        base
+        # exact duplicate of doc 0 (higher id loses)
+        + [(100, "en", base[0][2])]
+        # leaked copy of the eval doc
+        + [(101, "en", "the secret eval benchmark question and its answer text here")]
+        # wrong language
+        + [(102, "fr", "document francais qui doit disparaitre du corpus")]
+        # too short
+        + [(103, "en", "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ev = spark.createDataFrame(
+        [(9000, "the secret eval benchmark question and its answer text here")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        df,
+        "doc_id",
+        "text",
+        "lang",
+        eval_df=ev,
+        allowed_langs=["en"],
+        min_chars=10,
+        contamination_max=0.2,
+        contamination_n=3,
+        pack_budget=64,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 102 not in kept  # language filter
+    assert 103 not in kept  # length filter
+    assert 100 not in kept and 0 in kept  # exact dedup keeps lowest id
+    assert 101 not in kept  # decontaminated
+    assert set(range(40)) <= kept
+    cols = set(out.columns)
+    assert {"stream", "pack_id", "tok_start"} <= cols
+    packed = out.collect()
+    assert all(0 <= r["tok_start"] < 64 for r in packed)
