@@ -9,14 +9,17 @@ the benchmark) before any honest evaluation.
 
 Scale design (100 TB train corpus, benchmark-sized eval set):
 
-- The TRAIN side — the huge one — is scanned ONCE and never shuffled by
-  n-gram: its exploded shingles are semi-joined against a broadcast of the
-  eval n-gram set (eval benchmarks are tiny by construction), producing the
-  contaminated-n-gram set, which is at most |eval n-grams|.
-- Both joins carry 16-hex md5 prefixes, never shingle text.
-- When the eval side is NOT small (corpus-vs-corpus overlap), the same
+- Whichever side is small has its n-gram set BROADCAST, so the big side
+  is scanned once and never shuffled by n-gram — both directions: a tiny
+  benchmark scored against a huge train corpus (broadcast the benchmark's
+  n-grams), AND a huge train corpus scored against a tiny benchmark for
+  decontamination (broadcast the benchmark's n-grams and mark the train
+  side in one pass, no intersection stage at all).
+- All joins carry 16-hex md5 prefixes, never shingle text.
+- When NEITHER side is small (corpus-vs-corpus overlap), the same
   plan-size estimate used by ``plans.uniqueness.referential_violations``
-  flips the semi join to a shuffle join that AQE can still re-plan.
+  falls back to shuffle hash joins that AQE re-plans from exact shuffle
+  statistics.
 """
 
 from __future__ import annotations
@@ -73,24 +76,41 @@ def ngram_contamination(
     ``fraction`` above ~0.1-0.3, or excise the matching train docs.
     """
     ev = _doc_ngram_hashes(eval_df, id_col, text_col, n)
-    eval_set = ev.select("_h").filter(F.col("_h").isNotNull()).distinct()
+    tr = _doc_ngram_hashes(train_df, id_col, text_col, n).filter(
+        F.col("_h").isNotNull()
+    )
     if broadcast_eval is None:
         broadcast_eval = (
             _estimated_bytes(eval_df.select(text_col)) <= BROADCAST_SIZE_THRESHOLD
         )
-    probe = F.broadcast(eval_set) if broadcast_eval else eval_set
-    tr = _doc_ngram_hashes(train_df, id_col, text_col, n).filter(
-        F.col("_h").isNotNull()
+    train_small = (
+        _estimated_bytes(train_df.select(text_col)) <= BROADCAST_SIZE_THRESHOLD
     )
-    hits = (
-        tr.select("_h").join(probe, "_h", "left_semi").distinct()
-    )
-    marked = ev.join(
-        F.broadcast(hits.withColumn("_hit", F.lit(1))) if broadcast_eval
-        else hits.withColumn("_hit", F.lit(1)),
-        "_h",
-        "left",
-    )
+    if broadcast_eval:
+        # scored side is small (the usual benchmark-vs-corpus direction):
+        # broadcast ITS n-gram set, scan the big train side once against it
+        eval_set = ev.select("_h").filter(F.col("_h").isNotNull()).distinct()
+        hits = (
+            tr.select("_h")
+            .join(F.broadcast(eval_set), "_h", "left_semi")
+            .distinct()
+        )
+        marked = ev.join(
+            F.broadcast(hits.withColumn("_hit", F.lit(1))), "_h", "left"
+        )
+    elif train_small:
+        # reversed direction (score a big train corpus against a small
+        # benchmark, e.g. decontaminating train): broadcast the SMALL
+        # train/benchmark n-gram set and mark the big side in one pass —
+        # no intersection stage, no big-side n-gram shuffle
+        tr_set = tr.select("_h").distinct().withColumn("_hit", F.lit(1))
+        marked = ev.join(F.broadcast(tr_set), "_h", "left")
+    else:
+        # corpus-vs-corpus overlap: both sides genuinely large — shuffle
+        # hash join, AQE re-plans from exact shuffle statistics
+        eval_set = ev.select("_h").filter(F.col("_h").isNotNull()).distinct()
+        hits = tr.select("_h").join(eval_set, "_h", "left_semi").distinct()
+        marked = ev.join(hits.withColumn("_hit", F.lit(1)), "_h", "left")
     return marked.groupBy(F.col("_id").alias(id_col)).agg(
         F.count("_h").alias("n_ngrams"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),

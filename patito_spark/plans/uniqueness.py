@@ -71,8 +71,10 @@ def _estimated_bytes(df: DataFrame) -> int:
     Unknown estimates come back enormous, which safely reads as
     'do not broadcast'."""
     try:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(stats.sizeInBytes().toString())
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # Py4J maps the Scala BigInt to a Python int directly in pyspark 4;
+        # keep the stringly fallback for object-shaped returns
+        return raw if isinstance(raw, int) else int(raw.toString())
     except Exception:  # pragma: no cover - defensive: any Py4J hiccup
         return 2**63 - 1
 

@@ -577,6 +577,44 @@ def test_ngram_contamination_planted_leak(spark):
     assert out[102] == (0, 0, 0.0)
 
 
+def test_ngram_contamination_reversed_direction_broadcasts_small_side(spark):
+    """Decontamination direction (big train scored vs a small benchmark):
+    the SMALL side's n-gram set must broadcast — the big side never
+    shuffles by n-gram in the plan."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.contamination import ngram_contamination
+
+    big = spark.range(200_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.col("id")).alias("text"),
+    )
+    # plan-stats-visible small side (createDataFrame frames are LogicalRDDs
+    # whose size estimate is conservatively huge; real benchmarks come from
+    # table scans, whose estimates are file-size-derived like range's)
+    bench = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the eval question text "), F.col("id")).alias("text"),
+    )
+    out = ngram_contamination(big, bench, "doc_id", "text", n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the big side's n-grams must NOT shuffle in this direction
+    assert "SortMergeJoin" not in plan
+    # values still correct on a small concrete instance of this direction
+    train = spark.createDataFrame(
+        [(10, "a b c"), (11, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in ngram_contamination(
+            train, spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+            "doc_id", "text", n=3,
+        ).collect()
+    }
+    assert got == {10: 1, 11: 0}
+
+
 def test_ngram_contamination_counts_distinct_ngrams_once(spark):
     from patito_spark.operators.contamination import ngram_contamination
 
