@@ -622,6 +622,46 @@ class Model(metaclass=ModelMetaclass):
         )
 
     @classmethod
+    def create_table_ddl(
+        cls,
+        table: str,
+        using: str = "iceberg",
+        partition_by: Optional[list] = None,
+        table_properties: Optional[dict] = None,
+        if_not_exists: bool = True,
+    ) -> str:
+        """``CREATE TABLE`` DDL for this model — the deploy-time glue
+        between the spec and the lakehouse catalog.
+
+        Column types and ``NOT NULL`` come from the spec;
+        ``partition_by`` entries may be plain columns or Iceberg transform
+        expressions (``days(warc_ts)``, ``bucket(1024, url)`` — the
+        partitioning the north-rule checkpoint/resume keys on).  The DDL
+        string is engine-agnostic SQL: feed it to ``spark.sql`` against an
+        Iceberg catalog, or swap ``using`` for any V2 source.
+        """
+        cols = []
+        for spec in cls.__column_specs__.values():
+            null_sql = "" if spec.nullable else " NOT NULL"
+            cols.append(
+                f"  {spec.name} {spec.dtype.simpleString()}{null_sql}"
+            )
+        exists_sql = "IF NOT EXISTS " if if_not_exists else ""
+        ddl = (
+            f"CREATE TABLE {exists_sql}{table} (\n"
+            + ",\n".join(cols)
+            + f"\n) USING {using}"
+        )
+        if partition_by:
+            ddl += "\nPARTITIONED BY (" + ", ".join(partition_by) + ")"
+        if table_properties:
+            props = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(table_properties.items())
+            )
+            ddl += f"\nTBLPROPERTIES ({props})"
+        return ddl
+
+    @classmethod
     def validate_schema(cls) -> None:
         """Pre-flight: every annotation resolvable, dtype overrides compatible.
 

@@ -469,3 +469,35 @@ def test_diff_models_narrowing_type_breaks():
 
     d = pt.diff_models(Old, New)
     assert d["breaking"] is True and d["retyped"][0]["breaking"] is True
+
+
+def test_create_table_ddl(spark):
+    class Page(pt.Model):
+        url: str = pt.Field(unique=True)
+        warc_ts: dt.datetime
+        html: Optional[bytes]
+        n_chars: Optional[int]
+
+    ddl = Page.create_table_ddl(
+        "lake.web.pages",
+        partition_by=["days(warc_ts)", "bucket(64, url)"],
+        table_properties={"write.format.default": "parquet"},
+    )
+    assert "CREATE TABLE IF NOT EXISTS lake.web.pages" in ddl
+    assert "url string NOT NULL" in ddl
+    assert "warc_ts timestamp NOT NULL" in ddl
+    assert "html binary" in ddl and "html binary NOT NULL" not in ddl
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (days(warc_ts), bucket(64, url))" in ddl
+    assert "TBLPROPERTIES ('write.format.default' = 'parquet')" in ddl
+    # the DDL round-trips through a real catalog (parquet source — the
+    # session has no Iceberg jars; the SQL shape is source-agnostic)
+    spark.sql("DROP TABLE IF EXISTS ddl_roundtrip")
+    spark.sql(
+        Page.create_table_ddl("ddl_roundtrip", using="parquet").replace(
+            " NOT NULL", ""
+        )
+    )
+    got = {f.name: f.dataType for f in spark.table("ddl_roundtrip").schema.fields}
+    assert got == {f.name: f.dataType for f in Page.spark_schema().fields}
+    spark.sql("DROP TABLE ddl_roundtrip")
