@@ -623,8 +623,13 @@ def q_keyword_tfidf(spark, sf_dir):
     min_df=2 suppresses hapax noise."""
     from patito_spark.operators.keywords import keyword_tfidf
 
-    docs = _t(spark, sf_dir, "documents")
-    return keyword_tfidf(docs, "doc_id", "text", k=3, min_df=2)
+    # pre-normalize with the ascii tokenizer (same pattern the SQL twin
+    # uses) so the operator's unicode tokenizer sees identical tokens for
+    # ANY input data — the minhash queries' portability trick
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text_norm", F.array_join(_tokens(F.col("text")), " ")
+    )
+    return keyword_tfidf(docs, "doc_id", "text_norm", k=3, min_df=2)
 
 
 SQL_KEYWORD_TFIDF = f"""
@@ -717,11 +722,15 @@ def q_split_contamination(spark, sf_dir):
     from patito_spark.operators.contamination import ngram_contamination
     from patito_spark.operators.sampling import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
+    # ascii-pre-normalized (see q_keyword_tfidf) so engine and SQL twin
+    # tokenize identically for any input data
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text_norm", F.array_join(_tokens(F.col("text")), " ")
+    )
     split = hash_split(docs, "doc_id", {"train": 8, "val": 1, "test": 1})
     ev = split.filter(F.col("split") == "test")
     tr = split.filter(F.col("split") == "train")
-    out = ngram_contamination(ev, tr, "doc_id", "text", n=3)
+    out = ngram_contamination(ev, tr, "doc_id", "text_norm", n=3)
     return out.select(
         "doc_id",
         "n_ngrams",
