@@ -2026,6 +2026,39 @@ FROM keyed WHERE rn = 1
 """
 
 
+def q_lang_percentiles(spark, sf_dir):
+    """Exact per-language n_chars percentiles via integer counting
+    (value = min{v : count(x<=v) >= ceil(p*n)}) — the scale-safe exact
+    quantile (Spark's builtin exact percentile buffers whole groups).
+    Probabilities are DOUBLE literals in both engines so ceil(p*n) uses
+    identical IEEE arithmetic."""
+    from patito_spark.plans.stats import discrete_percentiles_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return discrete_percentiles_by_group(
+        docs, "lang", "n_chars", [0.25, 0.5, 0.9]
+    ).select("lang", "p", F.col("value").cast("long").alias("value"), "n")
+
+
+SQL_LANG_PERCENTILES = """
+WITH c AS (
+  SELECT lang AS g, n_chars AS v, count(*)::BIGINT AS cnt
+  FROM documents WHERE n_chars IS NOT NULL
+  GROUP BY lang, n_chars
+), t AS (
+  SELECT g, sum(cnt)::BIGINT AS n FROM c GROUP BY g
+), cum AS (
+  SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM c
+), p(p) AS (
+  VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE)
+)
+SELECT cum.g AS lang, p.p AS p, min(cum.v)::BIGINT AS value, t.n AS n
+FROM cum JOIN t USING (g) CROSS JOIN p
+WHERE cum.cum >= ceil(p.p * t.n)
+GROUP BY cum.g, p.p, t.n
+"""
+
+
 def q_chi2_drift_by_lang(spark, sf_dir):
     """Per-language chi-square drift of n_chars vs the global distribution
     over a fixed [0, 500) 10-bucket histogram — the relational (three tiny
@@ -2355,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "clean_corpus": q_clean_corpus,
         "chi2_drift_by_lang": q_chi2_drift_by_lang,
+        "lang_percentiles": q_lang_percentiles,
         "multimodal_byte_hist": q_multimodal_byte_hist,
         "image_decode_meta": q_image_decode_meta,
         "audio_decode_meta": q_audio_decode_meta,
@@ -2416,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": SQL_URL_CANONICAL,
         "clean_corpus": SQL_CLEAN_CORPUS,
         "chi2_drift_by_lang": SQL_CHI2_DRIFT,
+        "lang_percentiles": SQL_LANG_PERCENTILES,
         "multimodal_byte_hist": SQL_MULTIMODAL_BYTE_HIST,
         "image_decode_meta": SQL_IMAGE_DECODE_META,
         "audio_decode_meta": SQL_AUDIO_DECODE_META,

@@ -236,6 +236,51 @@ def ks_grid_by_group(
     )
 
 
+def discrete_percentiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float],
+) -> DataFrame:
+    """Exact per-group percentiles of a DISCRETE (integer-ish) column —
+    ``(group, p, value, n)`` with the lower quantile definition
+    ``value = min{v : count(x <= v) >= ceil(p * n)}``.
+
+    Scale-safe where Spark's built-in exact ``percentile`` is not: that
+    aggregate buffers every group value in executor memory, while this
+    formulation is a ``groupBy(group, value)`` count (spillable, partial
+    aggregation), one windowed cumsum over the DISTINCT values of each
+    group, and a broadcast probe of the probability list — integer counts
+    end to end, so results are bit-identical across engines.  For
+    continuous columns, bucket first (``F.round``/``width_bucket``) or use
+    the ``quantile_sketch`` approximation.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    g, v = F.col(group_col), F.col(value_col)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(g.alias("_g"), v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    totals = counts.groupBy("_g").agg(F.sum("_c").alias("n"))
+    spark = df.sparkSession
+    probs_df = spark.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    hits = (
+        cum.join(totals, "_g")
+        .crossJoin(F.broadcast(probs_df))
+        .filter(F.col("_cum") >= F.ceil(F.col("p") * F.col("n")))
+    )
+    return hits.groupBy(F.col("_g").alias(group_col), "p").agg(
+        F.min("_v").alias("value"),
+        F.min("n").alias("n"),
+    )
+
+
 def chi_square_by_group(
     df: DataFrame,
     group_col: str,

@@ -58,6 +58,9 @@ EXCHANGE_BUDGET = {
     "domain_cap": 1,
     # sanctioned Arrow mapInPandas over one scan, no shuffle
     "html_extract": 0,
+    # (group,value) count + distinct-value window + totals + final agg,
+    # probs joined as a broadcast literal frame
+    "lang_percentiles": 6,
     "minhash_pairs": 3,
     "minhash_bucket_audit": 3,
     "simhash_values": 1,
@@ -109,7 +112,13 @@ ARROW_OK = {
 }
 
 #: broadcast nested-loop over a tiny side (probes / literal grid)
-CARTESIAN_OK = {"embedding_topk", "embedding_topk_int8", "chi2_drift_by_lang"}
+CARTESIAN_OK = {
+    "embedding_topk",
+    "embedding_topk_int8",
+    "chi2_drift_by_lang",
+    # broadcast of a literal 3-row probability frame
+    "lang_percentiles",
+}
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -554,3 +554,35 @@ def test_ks_grid_by_group_null_values_and_empty_ref(spark):
     assert out["b"][1] == 0 and math.isnan(out["b"][0])
     empty_ref = ks_grid_by_group(df, "g", "x", [], []).collect()
     assert all(math.isnan(r["ks"]) for r in empty_ref)
+
+
+def test_discrete_percentiles_by_group_exact(spark):
+    """Counting-based quantiles match the lower-quantile definition and a
+    driver-side reference on planted distributions."""
+    from patito_spark.plans.stats import discrete_percentiles_by_group
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [
+        ("b", v) for v in [5, 5, 5, 100]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        (r["g"], r["p"]): (r["value"], r["n"])
+        for r in discrete_percentiles_by_group(
+            df, "g", "v", [0.5, 0.9, 1.0]
+        ).collect()
+    }
+    # group a: n=10 → p50 = value at rank ceil(5)=5 → 5; p90 rank 9 → 9
+    assert out[("a", 0.5)] == (5, 10)
+    assert out[("a", 0.9)] == (9, 10)
+    assert out[("a", 1.0)] == (10, 10)
+    # group b: n=4 → p50 rank 2 → 5; p90 rank ceil(3.6)=4 → 100
+    assert out[("b", 0.5)] == (5, 4)
+    assert out[("b", 0.9)] == (100, 4)
+    # plan: no Python, no unbounded percentile buffer aggregate
+    plan = (
+        discrete_percentiles_by_group(df, "g", "v", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "percentile" not in plan.lower()
