@@ -4,11 +4,12 @@ Every `__spark_entry__.queries()` entry is planned at sf0.001 and checked
 against the scale invariants this engine is built on:
 
 - **No row-wise Python** (``BatchEvalPython``) anywhere, ever.
-- **Arrow-batched Python** only in the five sanctioned queries (blockwise
-  ANN, byte histogram, image/audio decode, exact-KS drift).
+- **Arrow-batched Python** only in the sanctioned ``ARROW_OK`` queries
+  (blockwise ANN, byte histogram, image/audio decode, HTML extraction —
+  genuinely per-payload Python work).
 - **No cartesian/nested-loop joins** except the documented broadcast-probe
   similarity baselines (probe side is a handful of rows by construction)
-  and the chi-square grid (literal expected-frequency table).
+  and literal-grid frames (chi-square buckets, percentile probabilities).
 - **No global range sorts** (a single-partition sort cannot scale).
 - **Shuffle budget**: each query's Exchange count must not exceed the
   audited value recorded below.  Adding a query without adding a budget
