@@ -335,7 +335,12 @@ def run_headline() -> tuple:
     spark.range(1_000_000).select(
         F.md5(F.col("id").cast("string")).alias("h")
     ).agg(F.count(F.lit(1))).collect()
-    qs = entrymod.queries()
+    # HEADLINE workloads are the module-level q_* functions, NOT registry
+    # entries: round 5 merged several registry queries into multi-column
+    # contract queries (driver-artifact packaging), and timing the original
+    # single-concern workloads keeps headline numbers comparable across
+    # rounds (same queries r1-r5).
+    qs = {name: getattr(entrymod, f"q_{name}") for name in HEADLINE}
     # best-of-N per query (VERDICT r2 item 2): single-shot timings swing
     # with host windows, making regressions unattributable.  Pass order is
     # query-major (q1,q1,q2,q2,...) so both samples of a query share a host

@@ -38,11 +38,8 @@ EXCHANGE_BUDGET = {
     "cast_columns": 0,
     "doc_fingerprints": 0,
     "exact_dedup_stats": 2,
-    "token_counts": 0,
-    "lang_id": 0,
-    "quality_scores": 0,
-    "repetition_scores": 0,
-    "pii_counts": 0,
+    # five per-doc text panels in ONE scan, still no shuffle
+    "text_metrics": 0,
     "hash_split": 1,
     "stratified_sample": 0,
     # eval-ngram distinct (1) + contaminated-set semi-join distinct (2) +
@@ -62,25 +59,24 @@ EXCHANGE_BUDGET = {
     # (group,value) count + distinct-value window + totals + final agg,
     # probs joined as a broadcast literal frame
     "lang_percentiles": 6,
-    "minhash_pairs": 3,
-    "minhash_bucket_audit": 3,
+    # pair generation (3) + cap=2 audit (3) unioned for the driver artifact
+    "minhash_all": 6,
     "simhash_values": 1,
     "simhash_pairs": 3,
     # iterative min-label propagation: lineage is cut per round
     # (localCheckpoint), so the FINAL plan is a checkpoint scan — the
     # per-round shuffles happen during construction, one per iteration
     "near_dup_clusters": 0,
-    "embedding_topk_blockwise": 1,
     "ngram_jaccard": 1,
-    "embedding_topk": 2,
-    "embedding_topk_int8": 2,
-    "stats_profile": 2,
-    "histogram": 1,
+    # brute (2) + blockwise (1) + int8 (2) unioned for the driver artifact
+    "embedding_topk_all": 5,
+    # per-lang profile (2) + bucket histogram (1) unioned
+    "stats_histogram": 3,
     "ri_orphans": 3,
     "events_windowed": 1,
+    # batch gaps-and-islands (1) + native session_window (1) unioned
+    "sessions_both": 2,
     "asof_join": 2,
-    "session_stats": 1,
-    "session_window_stats": 1,
     "range_join": 2,
     "time_rollup": 6,
     "rollup_partials": 1,
@@ -91,13 +87,13 @@ EXCHANGE_BUDGET = {
     "orders_join_revenue": 2,
     "customer_nation_join": 3,
     "text_parity": 3,
-    "url_domains": 0,
-    "url_canonical": 0,
+    # parse + canonicalize, one scan, no shuffle
+    "url_features": 0,
     "clean_corpus": 2,
     "chi2_drift_by_lang": 5,
-    "multimodal_byte_hist": 0,
-    "image_decode_meta": 0,
-    "audio_decode_meta": 0,
+    # three Arrow decode stages (each 0-exchange alone) joined on doc_id
+    # for the driver artifact: two sort-merge joins at most
+    "media_meta": 6,
     "embedding_near_dups": 2,
     "ks_drift_by_lang": 1,
     "ivf_topk": 2,
@@ -105,17 +101,17 @@ EXCHANGE_BUDGET = {
 
 #: Arrow-batched Python is the sanctioned slow path for exactly these
 ARROW_OK = {
-    "embedding_topk_blockwise",
-    "multimodal_byte_hist",
-    "image_decode_meta",
-    "audio_decode_meta",
+    # blockwise ANN leg of the merged top-k union
+    "embedding_topk_all",
+    # image + audio decode + byte histogram, merged
+    "media_meta",
     "html_extract",
 }
 
 #: broadcast nested-loop over a tiny side (probes / literal grid)
 CARTESIAN_OK = {
-    "embedding_topk",
-    "embedding_topk_int8",
+    # brute-force + int8 legs of the merged top-k union
+    "embedding_topk_all",
     "chi2_drift_by_lang",
     # broadcast of a literal 3-row probability frame
     "lang_percentiles",
