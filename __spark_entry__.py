@@ -2090,9 +2090,9 @@ grid AS (
   FROM grid gr LEFT JOIN per p ON gr.g = p.g AND gr.b = p.b
 )
 SELECT g AS lang,
-       round(sum((o - gl * n / CAST(nt AS DOUBLE))
-               * (o - gl * n / CAST(nt AS DOUBLE))
-               / (gl * n / CAST(nt AS DOUBLE))), 4) AS chi2,
+       round(sum((o - gl::DOUBLE * n / nt)
+               * (o - gl::DOUBLE * n / nt)
+               / (gl::DOUBLE * n / nt)), 4) AS chi2,
        count(*)::BIGINT AS buckets,
        min(n)::BIGINT AS n
 FROM joined, tot

@@ -374,9 +374,11 @@ class DataFrame:
                 stacklevel=3,
             )
             base = Window.partitionBy(F.lit(1))
-        # NULLS LAST to match polars/DuckDB sort order (Spark's .asc() is
-        # NULLS FIRST) — otherwise NULL order keys silently diverge
-        # cross-engine.
+        # NULLS LAST is pinned to the DuckDB oracle's default null
+        # ordering (Spark's .asc() is NULLS FIRST; polars defaults to
+        # nulls FIRST too, so this is an oracle-parity choice, not a
+        # polars-parity one) — otherwise NULL order keys silently diverge
+        # from the cross-engine gate.
         ordered = base.orderBy(*[F.asc_nulls_last(c) for c in order])
         if strategy == "forward":
             w = ordered.rowsBetween(

@@ -45,6 +45,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = DEFAULT_MAX_ITERATIONS,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """``(node, component)`` for every node in *pairs*; ``component`` is the
     smallest node id in the node's connected component.
@@ -53,20 +54,39 @@ def connected_components(
     Raises ``RuntimeError`` if the propagation has not converged after
     ``max_iterations`` rounds — for near-duplicate graphs that means the
     input is not the bounded pair list this operator is built for.
+
+    Checkpoint durability trade: by default each round's lineage cut uses
+    ``localCheckpoint`` — blocks live on executor storage, so a LOST
+    EXECUTOR mid-propagation fails the whole job with no recompute path
+    (lineage was truncated).  Fine in local mode and for jobs cheap to
+    rerun; on a large cluster pass ``checkpoint_dir=`` (an HDFS/object-
+    store path) to use reliable ``checkpoint()`` instead: each round
+    persists to fault-tolerant storage and survives executor loss, at the
+    cost of one distributed write per round.  Labels are identical either
+    way — only durability changes.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    edges = _cut(
         pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
         .unionByName(
             pairs.select(F.col(b_col).alias("_a"), F.col(a_col).alias("_b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("_a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         # (a) candidate labels reaching each node through one edge hop
@@ -93,7 +113,7 @@ def connected_components(
         # fold the convergence flag into the SAME materialization: the
         # checkpoint is the one expensive action per round, and the change
         # count afterwards is a scan of the already-materialized partitions
-        flagged = (
+        flagged = _cut(
             shortcut.join(
                 labels.select(
                     "node", F.col("component").alias("_old")
@@ -105,7 +125,6 @@ def connected_components(
                 "component",
                 (F.col("component") != F.col("_old")).alias("_ch"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = flagged.filter(F.col("_ch")).count()
         labels = flagged.select("node", "component")
@@ -142,23 +161,29 @@ def drop_near_duplicates(
     """
     comps = connected_components(pairs, a_col, b_col)
     if keep_by is None:
-        losers = comps.filter(F.col("node") != F.col("component"))
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("_pt_node")
+        )
     else:
         from pyspark.sql.window import Window  # noqa: PLC0415
 
-        scored = comps.join(
-            df.select(F.col(id_col).alias("node"), "*"), "node"
-        )
-        w = Window.partitionBy("component").orderBy(
-            keep_by, F.col("node").asc()
+        # _pt_-prefixed internals so a df that already has node/component/
+        # _rk columns (or a keep_by referencing them) cannot collide with
+        # the join bookkeeping
+        scored = comps.select(
+            F.col("node").alias("_pt_node"),
+            F.col("component").alias("_pt_component"),
+        ).join(df, F.col("_pt_node") == df[id_col])
+        w = Window.partitionBy("_pt_component").orderBy(
+            keep_by, F.col("_pt_node").asc()
         )
         losers = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") > 1)
-            .select("node")
+            scored.withColumn("_pt_rk", F.row_number().over(w))
+            .filter(F.col("_pt_rk") > 1)
+            .select("_pt_node")
         )
     return df.join(
-        losers, df[id_col] == losers["node"], "left_anti"
+        losers, df[id_col] == losers["_pt_node"], "left_anti"
     )
 
 

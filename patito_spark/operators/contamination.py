@@ -33,6 +33,16 @@ from ..functions.text import tokens, word_shingles_from_tokens
 from ..plans.uniqueness import BROADCAST_SIZE_THRESHOLD, _estimated_bytes
 from .dedup import _materialize
 
+#: What actually broadcasts is the DISTINCT n-gram md5-prefix set, not the
+#: text: one ~16-char string row per word position plus hashed-relation
+#: overhead is roughly 5-10x the raw text bytes (each word appears in n
+#: shingles and each shingle becomes a 16-hex row + join-table slots).  The
+#: plan-size estimate sees the TEXT column, so the broadcast decision must
+#: derate the threshold by this expansion factor — otherwise an eval set
+#: estimating just under the limit forces a multi-GB broadcast and OOMs
+#: executors at the documented scale.
+NGRAM_BROADCAST_EXPANSION = 8
+
 
 def _doc_ngram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int
@@ -79,12 +89,15 @@ def ngram_contamination(
     tr = _doc_ngram_hashes(train_df, id_col, text_col, n).filter(
         F.col("_h").isNotNull()
     )
+    # derated gate: see NGRAM_BROADCAST_EXPANSION — the broadcast relation
+    # is the n-gram set, several times larger than the text being estimated
+    ngram_threshold = BROADCAST_SIZE_THRESHOLD // NGRAM_BROADCAST_EXPANSION
     if broadcast_eval is None:
         broadcast_eval = (
-            _estimated_bytes(eval_df.select(text_col)) <= BROADCAST_SIZE_THRESHOLD
+            _estimated_bytes(eval_df.select(text_col)) <= ngram_threshold
         )
     train_small = (
-        _estimated_bytes(train_df.select(text_col)) <= BROADCAST_SIZE_THRESHOLD
+        _estimated_bytes(train_df.select(text_col)) <= ngram_threshold
     )
     if broadcast_eval:
         # scored side is small (the usual benchmark-vs-corpus direction):

@@ -51,12 +51,19 @@ def keyword_tfidf(
     )
     tf = pairs.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    n_docs = df.count()
+    # the corpus document count N is folded into the PLAN as a broadcast
+    # one-row aggregate instead of a separate df.count() action: one fewer
+    # job, and when df is a filtered/derived frame the corpus is not
+    # re-scanned before scoring starts (the count subtree prunes every
+    # column, so its scan reads only row-group metadata).  Counts ALL rows
+    # of df — including zero-token documents — matching count()'s N.
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
     scored = (
         tf.join(docfreq.filter(F.col("_df") >= min_df), "_t")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("_df") + 1),
+            F.col("tf") * (F.col("_nd") + 1) / (F.col("_df") + 1),
         )
     )
     w = Window.partitionBy("_id").orderBy(

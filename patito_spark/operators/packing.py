@@ -43,9 +43,27 @@ def pack_sequences(
 
     Documents with NULL/zero tokens get packed at their cumsum position
     like any other (zero width).
+
+    Parallelism: the per-stream running-token window serializes each
+    stream, so ``streams`` CAPS the packing stage at ``streams`` parallel
+    tasks regardless of cluster size — the default 64 saturates this
+    sandbox but NOT a large cluster.  Size it to at least the cluster's
+    total cores (e.g. executors × cores, rounded up to a power of two) for
+    big jobs.  It is deliberately NOT auto-scaled from the session: the
+    stream deal is part of the deterministic layout, and auto-scaling
+    would make the same corpus pack differently on different clusters,
+    breaking resumability and run-to-run comparisons.  Raises if the input
+    already has a ``stream``/``pack_id``/``tok_start`` column (these are
+    the operator's output slots).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    reserved = {"stream", "pack_id", "tok_start"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has reserved output column(s) {sorted(reserved)}; "
+            "rename them before pack_sequences"
+        )
     key = F.col(id_col).cast("string")
     order_key = F.md5(F.concat(key, F.lit(salt)))
     stream = F.pmod(

@@ -157,7 +157,7 @@ def cap_per_group(
         raise ValueError("pass order_by= and/or id_col= (deterministic order)")
     w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        df.withColumn("_pt_rk", F.row_number().over(w))
+        .filter(F.col("_pt_rk") <= k)
+        .drop("_pt_rk")
     )

@@ -30,6 +30,25 @@ from pyspark.sql.window import Window
 from ..functions.vectors import cosine_similarity
 from .dedup import _materialize
 
+#: Probe frames are collected to the driver (the probe matrix ships in the
+#: task closure / a broadcast), so their size must be bounded BY CODE, not
+#: by contract: pointing a corpus at the probe argument would otherwise be
+#: a silent driver OOM.  4096 probes × 64 doubles ≈ 2 MB — far below any
+#: driver limit, far above any sane probe batch.  Raise via the
+#: ``max_probes`` parameter (and chunk the probe set) for wider fan-outs.
+DEFAULT_MAX_PROBES = 4096
+
+
+def _collect_probes(probes: DataFrame, cols: list, max_probes: int) -> list:
+    rows = probes.select(*cols).limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"probe frame exceeds max_probes={max_probes}; probes are "
+            "collected to the driver — chunk the probe set (or raise "
+            "max_probes consciously) instead of passing a corpus"
+        )
+    return rows
+
 
 def topk_brute_force(
     corpus: DataFrame,
@@ -71,18 +90,20 @@ def topk_blockwise(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    max_probes: int = DEFAULT_MAX_PROBES,
 ) -> DataFrame:
     """Same result as :func:`topk_brute_force`, Arrow/numpy inner loop.
 
-    The probe matrix is collected once (probes are small by contract) and
-    shipped in the closure; each Arrow batch computes a single normalized
-    matrix product and emits its batch-local top-k — vectorized end to end,
-    no per-row Python.
+    The probe matrix is collected once (bounded by ``max_probes`` — a
+    probe frame past the cap raises instead of silently OOMing the driver)
+    and shipped in the closure; each Arrow batch computes a single
+    normalized matrix product and emits its batch-local top-k — vectorized
+    end to end, no per-row Python.
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    probe_rows = _collect_probes(probes, [probe_id_col, vec_col], max_probes)
     probe_ids = [r[0] for r in probe_rows]
     pm = np.asarray([r[1] for r in probe_rows], dtype="float64")
     pm = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
@@ -222,13 +243,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    max_probes: int = DEFAULT_MAX_PROBES,
 ) -> DataFrame:
-    """Search only the ``nprobe`` nearest centroid buckets per probe."""
+    """Search only the ``nprobe`` nearest centroid buckets per probe.
+
+    The probe frame is collected to the driver for centroid assignment and
+    bounded by ``max_probes`` (raise past the cap, never a silent OOM).
+    """
     import numpy as np  # noqa: PLC0415
 
     cm = np.asarray([c[1] for c in centroids], dtype="float64")
     cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-    probe_rows = probes.select(probe_id_col, vec_col).collect()
+    probe_rows = _collect_probes(probes, [probe_id_col, vec_col], max_probes)
     assignments = []
     for r in probe_rows:
         v = np.asarray(r[1], dtype="float64")

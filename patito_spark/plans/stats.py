@@ -326,22 +326,28 @@ def chi_square_by_group(
         F.col("_gl"),
         F.coalesce(F.col("_o"), F.lit(0)).alias("_o"),
     )
-    # chi² = Σ_b (o−e)²/e with e = gl·n/N expands to (N/n)·Σ(o²/gl) − n,
-    # because Σo = n and Σe = n over the group's grid rows, and N = Σgl
-    # over those same rows (each group sees every occupied bucket).  That
-    # folds the global total N into THIS aggregate — no separate count()
-    # action, no extra subtree.
-    n_g = F.min("_n")
-    chi2 = (
-        F.sum("_gl") / n_g
-        * F.sum(F.col("_o") * F.col("_o") / F.col("_gl"))
-        - n_g
+    # chi² = Σ_b (o−e)²/e with e = gl·n/N, computed TERM BY TERM — the
+    # same per-bucket form the DuckDB oracle evaluates.  The algebraic
+    # refold (N/n)·Σ(o²/gl) − n is equal on paper but subtracts two
+    # ~n-magnitude doubles, so its absolute error grows like ulp(n): at
+    # group counts around 1e9-1e12 the cancellation can flip the rounded
+    # cross-engine hash and small chi² values lose most of their
+    # precision.  The per-bucket form keeps every term at the magnitude of
+    # the actual drift signal.  N is folded into the plan as a broadcast
+    # one-row re-aggregation of the per-bucket globals — no count() action.
+    nt = glob.agg(F.sum("_gl").cast("double").alias("_nt"))
+    e = F.col("_gl").cast("double") * F.col("_n") / F.col("_nt")
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    return (
+        joined.crossJoin(F.broadcast(nt))
+        .groupBy("_g")
+        .agg(
+            F.sum(term).alias("chi2"),
+            F.count(F.lit(1)).cast("long").alias("buckets"),
+            F.min("_n").cast("long").alias("n"),
+        )
+        .select(F.col("_g").alias(group_col), "chi2", "buckets", "n")
     )
-    return joined.groupBy("_g").agg(
-        chi2.alias("chi2"),
-        F.count(F.lit(1)).cast("long").alias("buckets"),
-        n_g.cast("long").alias("n"),
-    ).select(F.col("_g").alias(group_col), "chi2", "buckets", "n")
 
 
 def ks_from_sketches(q_a: Sequence[float], q_b: Sequence[float]) -> float:

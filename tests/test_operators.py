@@ -1640,3 +1640,112 @@ def test_extract_text_mapinpandas(spark):
     out = {r["id"]: (r["text"], r["extract_error"]) for r in extract_text(df, "id", "html").collect()}
     assert out[1] == ("hello world", None)
     assert out[2] == ("", None)  # NULL payload → empty text, not an error
+
+
+# -- round-5 robustness guards -----------------------------------------------------------------------
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches localCheckpoint → reliable checkpoint:
+    identical labels, and the round materializations actually land in the
+    fault-tolerant directory (what survives executor loss on a cluster)."""
+    import os
+
+    from patito_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 10), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    default = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    ckdir = str(tmp_path / "cc_checkpoints")
+    reliable = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == default == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckdir)
+        for f in files
+    ]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_drop_near_duplicates_tolerates_reserved_column_names(spark):
+    """A frame that already has node/component/_rk columns must not collide
+    with the cluster-resolution bookkeeping (internals are _pt_-prefixed)."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.components import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 9, 9, 0.2), (2, 9, 9, 0.9), (4, 9, 9, 0.9), (5, 9, 9, 0.1)],
+        "doc_id long, node long, component long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            docs, "doc_id", pairs, keep_by=F.col("quality").desc()
+        ).collect()
+    )
+    assert kept == [2, 5]
+    kept_default = sorted(
+        r["doc_id"] for r in drop_near_duplicates(docs, "doc_id", pairs).collect()
+    )
+    assert kept_default == [1, 5]
+
+
+def test_pack_sequences_reserved_output_names_raise(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.packing import pack_sequences
+
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(10).alias("ntok"),
+        F.lit(0).alias("stream"),
+    )
+    with pytest.raises(ValueError, match="reserved output column"):
+        pack_sequences(docs, "doc_id", "ntok", budget=128)
+
+
+def test_pack_sequences_stream_count_caps_parallelism(spark):
+    """The per-stream window serializes each stream: the packing stage's
+    parallelism is exactly the streams= knob (documented cap), and every
+    emitted stream id stays inside it."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.packing import pack_sequences
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("ntok")
+    )
+    packed = pack_sequences(docs, "doc_id", "ntok", budget=64, streams=3)
+    streams = {r["stream"] for r in packed.collect()}
+    assert streams == {0, 1, 2}
+
+
+def test_probe_cap_raises_instead_of_collecting(spark, embeddings):
+    """The ANN entry points that collect probes to the driver must refuse
+    an unbounded probe frame (silent driver OOM otherwise)."""
+    from patito_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        topk_blockwise,
+    )
+
+    probes = embeddings.select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="max_probes"):
+        topk_blockwise(embeddings, probes, k=3, max_probes=5)
+    indexed, centroids = build_ivf_index(embeddings, n_centroids=4, strategy="first")
+    with pytest.raises(ValueError, match="max_probes"):
+        ivf_topk(indexed, centroids, probes, k=3, max_probes=5)
+    # under the cap the path is unchanged
+    small = probes.filter(F.col("probe_id") < 3)
+    assert topk_blockwise(embeddings, small, k=3, max_probes=5).count() == 9

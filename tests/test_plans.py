@@ -49,9 +49,11 @@ EXCHANGE_BUDGET = {
     # one hashpartitioning(stream) exchange + local window sort
     "pack_sequences": 1,
     # explode → tf groupBy + docfreq groupBy + term-keyed join (both
-    # sides) + per-doc window; AQE can still broadcast the vocabulary
-    # side at runtime, which removes one exchange
-    "keyword_tfidf": 5,
+    # sides) + per-doc window, PLUS the one-row corpus-count aggregate
+    # (SinglePartition partial-merge + its broadcast) that replaced the
+    # separate df.count() action — 2 more plan exchanges of one row each,
+    # one fewer full job
+    "keyword_tfidf": 7,
     # one hashpartitioning(source) exchange + local per-group sort
     "domain_cap": 1,
     # sanctioned Arrow mapInPandas over one scan, no shuffle
@@ -90,7 +92,10 @@ EXCHANGE_BUDGET = {
     # parse + canonicalize, one scan, no shuffle
     "url_features": 0,
     "clean_corpus": 2,
-    "chi2_drift_by_lang": 5,
+    # per-(g,b) + per-b + per-g counts and their joins, PLUS the one-row
+    # global-total re-aggregation (subtree exchange + SinglePartition merge
+    # + broadcast) that feeds the per-bucket (o-e)^2/e form
+    "chi2_drift_by_lang": 8,
     # three Arrow decode stages (each 0-exchange alone) joined on doc_id
     # for the driver artifact: two sort-merge joins at most
     "media_meta": 6,
@@ -115,6 +120,9 @@ CARTESIAN_OK = {
     "chi2_drift_by_lang",
     # broadcast of a literal 3-row probability frame
     "lang_percentiles",
+    # broadcast of the one-row corpus-count aggregate (N folded into the
+    # plan instead of a separate count() action)
+    "keyword_tfidf",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
