@@ -69,13 +69,17 @@ def skewness_report(df: DataFrame, key: Column, top_n: int = 10) -> DataFrame:
     """Per-key share of rows for the heaviest keys — decide whether to salt.
 
     One salted-by-construction aggregation (counting; partial agg absorbs
-    the skew it is measuring).
+    the skew it is measuring).  The row total joins in as a broadcast
+    one-row aggregate — no separate count() action, and the plan's top is
+    a TakeOrderedAndProject (no global-sort exchange).
     """
-    total = df.count()
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     return (
         df.groupBy(key.alias("key"))
         .agg(F.count(F.lit(1)).alias("rows"))
-        .withColumn("share", F.round(F.col("rows") / F.lit(total), 6))
+        .crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("rows") / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.col("rows").desc(), F.col("key").asc())
         .limit(top_n)
     )

@@ -84,7 +84,12 @@ EXCHANGE_BUDGET = {
     "rollup_partials": 1,
     "pricing_summary": 1,
     "streaming_flags": 0,
-    "source_skew": 1,
+    # hot-key count + broadcast one-row total (the count() fold); top is
+    # TakeOrderedAndProject, never a global sort
+    "source_skew": 3,
+    # dim build (1) + (source,salt)-keyed join + final per-lang agg; the
+    # replicated dim broadcasts
+    "salted_join": 3,
     "per_partition_report": 1,
     "orders_join_revenue": 2,
     "customer_nation_join": 3,
@@ -123,6 +128,8 @@ CARTESIAN_OK = {
     # broadcast of the one-row corpus-count aggregate (N folded into the
     # plan instead of a separate count() action)
     "keyword_tfidf",
+    # broadcast of the one-row row-total aggregate (same count() fold)
+    "source_skew",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
