@@ -2683,6 +2683,57 @@ GROUP BY d.lang
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style cross-document line dedup (boilerplate removal): each
+    document becomes a 3-line page — its own text, a banner shared by ALL
+    documents, and a footer shared within its source — and the operator
+    must strip exactly the cross-document duplicates while preserving
+    line order.  The oracle rebuilds the same pages and removes lines
+    occurring in ≥2 documents via a count + string_agg(ORDER BY) twin, so
+    the global-count semantics, the per-index removal, and the rejoin
+    order are all hash-gated."""
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    page = F.concat(
+        F.col("text"),
+        F.lit("\nshared boilerplate banner\nsrc footer "),
+        F.col("source"),
+    )
+    built = docs.select("doc_id", page.alias("page"))
+    out = remove_duplicated_lines(built, "doc_id", "page")
+    return out.select("doc_id", "text_clean", "n_lines", "n_removed")
+
+
+SQL_LINE_DEDUP = """
+WITH built AS (
+  SELECT doc_id,
+         text || chr(10) || 'shared boilerplate banner' || chr(10)
+              || 'src footer ' || source AS page
+  FROM documents WHERE text IS NOT NULL
+), arr AS (
+  SELECT doc_id, string_split(page, chr(10)) AS l FROM built
+), lines AS (
+  SELECT doc_id, g.i, l[CAST(g.i AS INTEGER)] AS line
+  FROM arr, unnest(range(1, len(l) + 1)) AS g(i)
+), dups AS (
+  SELECT line FROM lines WHERE line <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, i, line FROM lines
+  WHERE line NOT IN (SELECT line FROM dups)
+), joined AS (
+  SELECT a.doc_id, len(a.l)::BIGINT AS n_lines,
+         coalesce(string_agg(k.line, chr(10) ORDER BY k.i), '') AS text_clean,
+         count(k.line)::BIGINT AS n_kept
+  FROM arr a LEFT JOIN kept k USING (doc_id)
+  GROUP BY a.doc_id, len(a.l)
+)
+SELECT doc_id, text_clean, n_lines, (n_lines - n_kept)::BIGINT AS n_removed
+FROM joined
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is execution order for the driver's correctness gate.
     # 48 entries ≤ the artifact's 50-row cap, so EVERY query gets a
@@ -2732,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_flags": q_streaming_flags,
         "source_skew": q_source_skew,
         "salted_join": q_salted_join,
+        "line_dedup": q_line_dedup,
         "per_partition_report": q_per_partition_report,
         "orders_join_revenue": q_orders_join_revenue,
         "customer_nation_join": q_customer_nation_join,
@@ -2786,6 +2838,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_flags": SQL_STREAMING_FLAGS,
         "source_skew": SQL_SOURCE_SKEW,
         "salted_join": SQL_SALTED_JOIN,
+        "line_dedup": SQL_LINE_DEDUP,
         "per_partition_report": SQL_PER_PARTITION_REPORT,
         "orders_join_revenue": SQL_ORDERS_JOIN_REVENUE,
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,

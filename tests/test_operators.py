@@ -1749,3 +1749,88 @@ def test_probe_cap_raises_instead_of_collecting(spark, embeddings):
     # under the cap the path is unchanged
     small = probes.filter(F.col("probe_id") < 3)
     assert topk_blockwise(embeddings, small, k=3, max_probes=5).count() == 9
+
+
+# -- cross-document line dedup (boilerplate removal) -------------------------------------------------
+
+
+def test_remove_duplicated_lines_boilerplate(spark):
+    from patito_spark.operators.lines import (
+        duplicated_line_stats,
+        remove_duplicated_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nCOOKIE BANNER\nbody one\nFOOTER"),
+            (2, "COOKIE BANNER\nbody two\nFOOTER"),
+            (3, "body three\nFOOTER\nunique omega"),
+            (4, None),
+            (5, "only unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["line_hash"]: r["n_docs"]
+        for r in duplicated_line_stats(docs, "text").collect()
+    }
+    assert sorted(stats.values()) == [2, 3]  # banner ×2, footer ×3
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_lines(docs, "doc_id", "text").collect()
+    }
+    assert out[1]["text_clean"] == "unique alpha\nbody one"
+    assert out[2]["text_clean"] == "body two"
+    assert out[3]["text_clean"] == "body three\nunique omega"
+    assert out[4]["text_clean"] is None and out[4]["n_removed"] == 0
+    assert out[5]["text_clean"] == "only unique content here"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 2)
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (3, 1)
+
+
+def test_remove_duplicated_lines_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [
+            # within-doc repeat only: NOT removed (doc-count is 1)
+            (1, "echo\necho\nsolo"),
+            # blank lines never participate even though every doc has them
+            (2, "a\n\nb"),
+            (3, "c\n\nd"),
+            # doc reduced to nothing
+            (4, "SAME"),
+            (5, "SAME"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicated_lines(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == "echo\necho\nsolo"
+    assert out[2] == "a\n\nb" and out[3] == "c\n\nd"
+    assert out[4] == "" and out[5] == ""
+    # min_count above the duplication level keeps everything
+    kept = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicated_lines(
+            docs, "doc_id", "text", min_count=3
+        ).collect()
+    }
+    assert kept[4] == "SAME"
+    # deterministic under re-partitioning
+    again = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicated_lines(
+            docs.repartition(7), "doc_id", "text"
+        ).collect()
+    }
+    assert again == out
+    # reserved output column guard
+    with pytest.raises(ValueError, match="text_clean"):
+        remove_duplicated_lines(
+            docs.withColumn("text_clean", F.lit("x")), "doc_id", "text"
+        )

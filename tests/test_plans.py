@@ -90,6 +90,10 @@ EXCHANGE_BUDGET = {
     # dim build (1) + (source,salt)-keyed join + final per-lang agg; the
     # replicated dim broadcasts
     "salted_join": 3,
+    # hash-only dup-set count (1) + removal-index groupBy (1) + the two
+    # sides of the id-keyed rewrite join; text shuffles at most once and
+    # never by line hash
+    "line_dedup": 4,
     "per_partition_report": 1,
     "orders_join_revenue": 2,
     "customer_nation_join": 3,
