@@ -66,9 +66,15 @@ def prepare_training_corpus(
     contamination_n: int = 8,
     lang_fractions: Optional[dict] = None,
     pack_budget: Optional[int] = None,
+    line_dedup_min_count: Optional[int] = None,
 ) -> DataFrame:
     """The full training-data build, end to end:
 
+    0. cross-document line dedup (when *line_dedup_min_count* is given) —
+       boilerplate lines occurring in that many documents are stripped
+       FIRST, so quality scoring, fingerprinting, and near-dup detection
+       all see the cleaned text (boilerplate otherwise depresses quality
+       scores and glues unrelated documents into near-dup clusters);
     1. :func:`clean_corpus` — language/length/quality filters (scan-side
        predicates) + exact dedup (one fingerprint shuffle);
     2. near-duplicate removal — MinHash pairs → connected components →
@@ -93,6 +99,16 @@ def prepare_training_corpus(
     from .dedup import minhash_dedup_pairs
     from .sampling import stratified_sample
 
+    if line_dedup_min_count is not None:
+        from .lines import remove_duplicated_lines
+
+        df = (
+            remove_duplicated_lines(
+                df, id_col, text_col, min_count=line_dedup_min_count
+            )
+            .drop(text_col, "n_lines", "n_removed")
+            .withColumnRenamed("text_clean", text_col)
+        )
     out = clean_corpus(
         df,
         id_col,

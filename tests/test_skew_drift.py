@@ -200,3 +200,39 @@ def test_prepare_training_corpus_end_to_end(spark):
     assert {"stream", "pack_id", "tok_start"} <= cols
     packed = out.collect()
     assert all(0 <= r["tok_start"] < 64 for r in packed)
+
+
+def test_prepare_training_corpus_line_dedup_stage(spark):
+    """line_dedup_min_count strips boilerplate BEFORE the other stages:
+    the shared footer disappears from surviving text, and two documents
+    identical except for boilerplate collapse in the exact-dedup stage."""
+    from patito_spark.operators.pipeline import prepare_training_corpus
+
+    footer = "COOKIE FOOTER please accept our cookies"
+    rows = [
+        (i, "en", f"document number {i} unique words w{i} x{i} y{i}\n{footer}")
+        for i in range(10)
+    ] + [
+        # a second banner shared by exactly this pair — both bodies unique
+        (20, "en", "standalone body twenty something here\nOTHER BANNER"),
+        (21, "en", "another body for the banner pair\nOTHER BANNER"),
+        # boilerplate-only page: reduced to '' and dropped by min_chars —
+        # exactly what a cleaning pass should do to a pure-footer page
+        (22, "en", f"{footer}\nOTHER BANNER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = prepare_training_corpus(
+        df,
+        "doc_id",
+        "text",
+        "lang",
+        allowed_langs=["en"],
+        min_chars=10,
+        line_dedup_min_count=2,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all(footer not in t and "OTHER BANNER" not in t for t in got.values())
+    assert set(range(10)) <= set(got) and 20 in got and 21 in got
+    assert got[0] == "document number 0 unique words w0 x0 y0"
+    assert got[20] == "standalone body twenty something here"
+    assert 22 not in got  # boilerplate-only page dropped
