@@ -2647,6 +2647,36 @@ FROM ({SQL_EMBEDDING_TOPK_INT8})
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """The two one-row corpus retention checks as one tagged union:
+    kind='exact_dedup' is the bare exact-dedup survivor stats, and
+    kind='clean_corpus' is the full cleaning pipeline's (lang filter →
+    length bounds → quality threshold → exact dedup) retention — merged
+    for driver-artifact packaging; both legs are the original audited
+    workloads."""
+    dedup = q_exact_dedup_stats(spark, sf_dir).select(
+        F.lit("exact_dedup").alias("kind"),
+        F.col("rows_after_dedup").alias("rows"),
+        F.col("sum_n_chars").alias("sum_chars"),
+    )
+    clean = q_clean_corpus(spark, sf_dir).select(
+        F.lit("clean_corpus").alias("kind"),
+        F.col("rows_kept").alias("rows"),
+        "sum_chars",
+    )
+    return dedup.unionByName(clean)
+
+
+def _sql_corpus_stats() -> str:
+    return f"""
+SELECT 'exact_dedup' AS kind, rows_after_dedup AS rows, sum_n_chars AS sum_chars
+FROM ({SQL_EXACT_DEDUP_STATS})
+UNION ALL
+SELECT 'clean_corpus', rows_kept, sum_chars
+FROM ({SQL_CLEAN_CORPUS})
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Explicit skew-mitigated join (north rule: hot URL domains): the
     documents fact side is salted with a deterministic-per-row salt, the
@@ -2759,7 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_null_forward": q_fill_null_forward,
         "cast_columns": q_cast_columns,
         "doc_fingerprints": q_doc_fingerprints,
-        "exact_dedup_stats": q_exact_dedup_stats,
+        "corpus_stats": q_corpus_stats,
         "text_metrics": q_text_metrics,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -2789,7 +2819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_nation_join": q_customer_nation_join,
         "text_parity": q_text_parity,
         "url_features": q_url_features,
-        "clean_corpus": q_clean_corpus,
         "chi2_drift_by_lang": q_chi2_drift_by_lang,
         "lang_percentiles": q_lang_percentiles,
     }
@@ -2814,7 +2843,7 @@ def oracle_sql() -> dict[str, str]:
         "fill_null_forward": SQL_FILL_NULL_FORWARD,
         "cast_columns": SQL_CAST_COLUMNS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
-        "exact_dedup_stats": SQL_EXACT_DEDUP_STATS,
+        "corpus_stats": _sql_corpus_stats(),
         "text_metrics": _sql_text_metrics(),
         "hash_split": _sql_hash_split(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2844,7 +2873,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation_join": SQL_CUSTOMER_NATION_JOIN,
         "text_parity": SQL_TEXT_PARITY,
         "url_features": _sql_url_features(),
-        "clean_corpus": SQL_CLEAN_CORPUS,
         "chi2_drift_by_lang": SQL_CHI2_DRIFT,
         "lang_percentiles": SQL_LANG_PERCENTILES,
     }

@@ -37,7 +37,8 @@ EXCHANGE_BUDGET = {
     "fill_null_forward": 1,
     "cast_columns": 0,
     "doc_fingerprints": 0,
-    "exact_dedup_stats": 2,
+    # exact-dedup leg (2) + full cleaning-pipeline leg (2) unioned
+    "corpus_stats": 4,
     # five per-doc text panels in ONE scan, still no shuffle
     "text_metrics": 0,
     "hash_split": 1,
@@ -100,7 +101,6 @@ EXCHANGE_BUDGET = {
     "text_parity": 3,
     # parse + canonicalize, one scan, no shuffle
     "url_features": 0,
-    "clean_corpus": 2,
     # per-(g,b) + per-b + per-g counts and their joins, PLUS the one-row
     # global-total re-aggregation (subtree exchange + SinglePartition merge
     # + broadcast) that feeds the per-bucket (o-e)^2/e form
