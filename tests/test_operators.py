@@ -1834,3 +1834,44 @@ def test_remove_duplicated_lines_semantics(spark):
         remove_duplicated_lines(
             docs.withColumn("text_clean", F.lit("x")), "doc_id", "text"
         )
+
+
+def test_remove_duplicated_lines_random_vs_reference(spark):
+    """Seeded random corpora vs a driver-side pure-Python reference:
+    global doc-count semantics, all-copies removal, order preservation,
+    and blank-line immunity all reproduced exactly."""
+    import random
+    from collections import Counter
+
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    vocab = [f"line {i} text" for i in range(12)] + ["", "  "]
+    for seed in range(6):
+        rng = random.Random(seed)
+        min_count = rng.choice([2, 3])
+        docs = []
+        for doc_id in range(rng.randint(3, 12)):
+            n = rng.randint(0, 6)
+            docs.append((doc_id, "\n".join(rng.choice(vocab) for _ in range(n)) if n else rng.choice(vocab)))
+        # reference: count docs per non-empty line, remove all copies of
+        # lines reaching min_count, preserve order
+        per_doc_lines = {d: t.split("\n") for d, t in docs}
+        counts = Counter()
+        for lines in per_doc_lines.values():
+            for line in set(lines):
+                if line != "":
+                    counts[line] += 1
+        dup = {l for l, c in counts.items() if c >= min_count}
+        expected = {
+            d: ("\n".join(l for l in lines if l not in dup),
+                len(lines), sum(l in dup for l in lines))
+            for d, lines in per_doc_lines.items()
+        }
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+            for r in remove_duplicated_lines(
+                df, "doc_id", "text", min_count=min_count
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}"
