@@ -2766,7 +2766,7 @@ FROM joined
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is execution order for the driver's correctness gate.
-    # 48 entries ≤ the artifact's 50-row cap, so EVERY query gets a
+    # 49 entries < the artifact's 50-row cap, so EVERY query gets a
     # driver-recorded row; the historically slowest oracle paths
     # (near_dup_clusters' recursive-CTE twin, embedding_near_dups,
     # ks_drift_by_lang, ivf_topk, the merged minhash/media queries) still

@@ -64,10 +64,39 @@ def connected_components(
     persists to fault-tolerant storage and survives executor loss, at the
     cost of one distributed write per round.  Labels are identical either
     way — only durability changes.
+
+    Reliable-mode housekeeping: rounds checkpoint into per-round
+    subdirectories of *checkpoint_dir* and each round's files are deleted
+    as soon as the next round's checkpoint supersedes them (Spark itself
+    never deletes checkpoints unless the non-default
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on); the
+    application's previously-configured checkpoint dir, if any, is
+    restored on return.  The ``init`` subdir (the symmetrized edge list,
+    read every round) and the FINAL round's subdir back the returned
+    DataFrame — delete *checkpoint_dir* only after consuming or
+    persisting the result.
     """
-    if checkpoint_dir is not None:
-        sc = pairs.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+    use_reliable = checkpoint_dir is not None
+    if use_reliable:
+        spark = pairs.sparkSession
+        sc = spark.sparkContext
+        prev_opt = sc._jsc.sc().getCheckpointDir()
+        prev_dir = prev_opt.get() if prev_opt.isDefined() else None
+
+        def _set_dir(name: str) -> None:
+            sc.setCheckpointDir(f"{checkpoint_dir}/{name}")
+
+        def _delete_dir(name: str) -> None:
+            try:
+                path = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{checkpoint_dir}/{name}"
+                )
+                fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+                fs.delete(path, True)
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
+
+        _set_dir("init")
 
         def _cut(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -76,6 +105,26 @@ def connected_components(
         def _cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    try:
+        return _propagate(
+            pairs, a_col, b_col, max_iterations, _cut,
+            _set_dir if use_reliable else None,
+            _delete_dir if use_reliable else None,
+        )
+    finally:
+        if use_reliable and prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)
+
+
+def _propagate(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iterations: int,
+    _cut,
+    _set_dir,
+    _delete_dir,
+) -> DataFrame:
     edges = _cut(
         pairs.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
         .unionByName(
@@ -88,7 +137,7 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("component"))
     )
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
         # (a) candidate labels reaching each node through one edge hop
         via_edges = (
             edges.join(labels, edges["_a"] == labels["node"])
@@ -113,6 +162,8 @@ def connected_components(
         # fold the convergence flag into the SAME materialization: the
         # checkpoint is the one expensive action per round, and the change
         # count afterwards is a scan of the already-materialized partitions
+        if _set_dir is not None:
+            _set_dir(f"round-{_round}")
         flagged = _cut(
             shortcut.join(
                 labels.select(
@@ -126,6 +177,10 @@ def connected_components(
                 (F.col("component") != F.col("_old")).alias("_ch"),
             )
         )
+        # this round's checkpoint supersedes the previous round's files
+        # (edges live in 'init' and are never deleted mid-run)
+        if _delete_dir is not None and _round > 0:
+            _delete_dir(f"round-{_round - 1}")
         changed = flagged.filter(F.col("_ch")).count()
         labels = flagged.select("node", "component")
         if changed == 0:

@@ -32,8 +32,21 @@ Scale design (the corpus text never shuffles by line):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import _materialize
+
+
+def _split_lines(col, sep: str):
+    # F.split takes a Java REGEX; the separator is a literal string, so
+    # escape it (re.escape backslash-escapes every non-alphanumeric char,
+    # which Java regexes accept as literals) — an unescaped '|' or '.'
+    # would otherwise split between every character and silently corrupt
+    # the cleaned corpus
+    return F.split(col, re.escape(sep))
 
 
 def _line_hash(col):
@@ -58,7 +71,7 @@ def duplicated_line_stats(
             F.array_distinct(
                 F.transform(
                     F.filter(
-                        F.split(F.col(text_col), F.lit(sep)),
+                        _split_lines(F.col(text_col), sep),
                         lambda l: l != "",
                     ),
                     _line_hash,
@@ -93,11 +106,13 @@ def remove_duplicated_lines(
     Deterministic: removal depends only on corpus content, never on
     partitioning or row order.
     """
-    if out_col in df.columns:
+    reserved = {out_col, "n_lines", "n_removed"} & set(df.columns)
+    if reserved:
         raise ValueError(
-            f"input already has a {out_col!r} column; pass out_col= to rename"
+            f"input already has reserved output column(s) {sorted(reserved)}; "
+            "rename them (or pass out_col=) before remove_duplicated_lines"
         )
-    lines_arr = F.split(F.col(text_col), F.lit(sep))
+    lines_arr = _split_lines(F.col(text_col), sep)
     dup = duplicated_line_stats(df, text_col, min_count, sep).select(
         F.col("line_hash").alias("_pt_h")
     )
@@ -115,8 +130,13 @@ def remove_duplicated_lines(
     joined = df.join(
         removals, df[id_col] == removals["_pt_id"], "left"
     ).drop("_pt_id")
+    # materialize the split ONCE per row (Generate barrier): the filter
+    # lambda, the rejoin, and n_lines all reference it, and Catalyst does
+    # not CSE across higher-order-function boundaries (repo invariant)
+    joined = _materialize(joined, _pt_lines=lines_arr)
+    la = F.col("_pt_lines")
     rm = F.coalesce(F.col("_pt_rm"), F.array().cast("array<int>"))
-    kept = F.filter(lines_arr, lambda l, i: ~F.array_contains(rm, i))
+    kept = F.filter(la, lambda l, i: ~F.array_contains(rm, i))
     return (
         joined.withColumn(
             out_col,
@@ -126,10 +146,10 @@ def remove_duplicated_lines(
         )
         .withColumn(
             "n_lines",
-            F.when(F.col(text_col).isNotNull(), F.size(lines_arr))
+            F.when(F.col(text_col).isNotNull(), F.size(la))
             .otherwise(F.lit(0))
             .cast("long"),
         )
         .withColumn("n_removed", F.size(rm).cast("long"))
-        .drop("_pt_rm")
+        .drop("_pt_rm", "_pt_lines")
     )

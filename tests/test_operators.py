@@ -1661,6 +1661,8 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     ckdir = str(tmp_path / "cc_checkpoints")
+    prior = str(tmp_path / "app_checkpoints")
+    spark.sparkContext.setCheckpointDir(prior)
     reliable = {
         r["node"]: r["component"]
         for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
@@ -1672,6 +1674,16 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for f in files
     ]
     assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+    # housekeeping: only 'init' and the FINAL round's subdir survive —
+    # superseded rounds are deleted as the propagation advances
+    subdirs = sorted(os.listdir(ckdir))
+    rounds = [d for d in subdirs if d.startswith("round-")]
+    assert "init" in subdirs and len(rounds) <= 2
+    # the application's previously-configured checkpoint dir is restored
+    # (Spark resolves a configured dir to <dir>/<uuid>, so compare by
+    # containment — the restored dir must be back inside the app's tree)
+    restored = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert restored.isDefined() and "app_checkpoints" in restored.get()
 
 
 def test_drop_near_duplicates_tolerates_reserved_column_names(spark):
@@ -1875,3 +1887,30 @@ def test_remove_duplicated_lines_random_vs_reference(spark):
             ).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_remove_duplicated_lines_regex_metachar_separator(spark):
+    """sep is a LITERAL separator, not a regex: '|' (or '.') must split
+    only on itself — an unescaped pattern would split between every
+    character and corrupt the corpus."""
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|SHARED|beta"), (2, "gamma|SHARED|delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_duplicated_lines(
+            docs, "doc_id", "text", sep="|"
+        ).collect()
+    }
+    assert out[1] == ("alpha|beta", 3, 1)
+    assert out[2] == ("gamma|delta", 3, 1)
+    # reserved stats columns are guarded too, not just out_col
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="n_lines"):
+        remove_duplicated_lines(
+            docs.withColumn("n_lines", F.lit(0)), "doc_id", "text"
+        )
