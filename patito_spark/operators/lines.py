@@ -13,21 +13,33 @@ north-rule training-pipeline surface, same family as
 ``operators/dedup.py`` (reference: /root/reference/src/patito/validators.py
 has no corpus-level operators).
 
-Scale design (the corpus text never shuffles by line):
+Scale design (the corpus text never shuffles by line, and is scanned
+exactly TWICE end to end):
 
 1. Per-row line split + per-line 16-hex md5 prefixes stay in the row.
-2. The duplicated-line set is a ``groupBy(line_hash)`` count — the only
-   shuffle carries (8..16-byte hash) partial counts, and Spark's map-side
-   combine absorbs boilerplate heat exactly like the uniqueness check.
-3. Per-document REMOVAL INDEXES come from a (doc, idx, hash) explode
-   left-semi-joined against the duplicated set (AQE broadcasts the set
-   when small — the common case: distinct boilerplate lines ≪ corpus)
-   then ``groupBy(doc)`` of integers — text is never in this shuffle.
-4. The rewrite joins the removal-index lists back on the id and filters
-   the line array with a two-arg (element, index) lambda — one join whose
-   corpus side is co-located for free when the corpus is bucketed by id
-   (``sources.io.write_bucketed_table``), and whose other side holds only
-   int arrays for docs that actually contain boilerplate.
+2. One ``(line_hash, doc, [indexes])`` aggregation is built from the text
+   scan; its shuffle carries only hashes and small int lists, keyed by
+   the high-cardinality ``(hash, doc)`` pair — a 30%-hot boilerplate line
+   still spreads over every doc that contains it, so no reducer sees a
+   hot single key.
+3. BOTH the duplicated-line set (``groupBy(hash).count`` of that frame —
+   the per-(hash,doc) grouping makes plain ``count`` a distinct-doc
+   count, and map-side partial aggregation absorbs the boilerplate heat)
+   and the removal-index lists (semi join against that set, then
+   ``groupBy(doc)`` of int lists) hang off the SAME aggregated frame, so
+   Spark's exchange-reuse materializes the text-scan→explode→aggregate
+   subplan once (``ReusedExchange`` / AQE stage reuse — asserted by
+   ``test_remove_duplicated_lines_two_scans``).  The duplicated set is
+   small (distinct boilerplate lines ≪ corpus), so AQE broadcasts it.
+4. The rewrite joins the removal-index lists back on the id (text scan
+   #2) and rebuilds the cleaned text by SLICING the line array between
+   sorted removal indexes — O(lines + removals) per document (each kept
+   line is copied once), never the O(lines × removals) of a per-line
+   membership probe, so boilerplate-heavy documents (the exact target of
+   this operator) stay linear.  The corpus side of the join is co-located
+   for free when the corpus is bucketed by id
+   (``sources.io.write_bucketed_table``); the other side holds only int
+   arrays for docs that actually contain boilerplate.
 """
 
 from __future__ import annotations
@@ -38,6 +50,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _materialize
+
+#: 16-hex md5 prefix of the empty string: empty lines are excluded from the
+#: duplicated-line set by this constant (cheaper than re-filtering the raw
+#: line text after the hash-only aggregation), so blank-line paragraph
+#: separators always survive the cleaning pass.
+_EMPTY_LINE_HASH = "d41d8cd98f00b204"
+
+#: Bookkeeping columns the implementation adds mid-plan; input frames must
+#: not collide with them (same guard style as ``packing.pack_sequences``).
+_INTERNAL_COLS = ("_pt_id", "_pt_idx", "_pt_h", "_pt_idxs", "_pt_rm",
+                  "_pt_lines", "_pt_bounds")
 
 
 def _split_lines(col, sep: str):
@@ -65,7 +88,12 @@ def duplicated_line_stats(
     """``(line_hash, n_docs)`` for every line occurring in ≥ *min_count*
     documents (each document counts a line once — within-doc repeats don't
     inflate the boilerplate signal).  Empty lines never participate, so
-    blank-line paragraph separators survive the cleaning pass."""
+    blank-line paragraph separators survive the cleaning pass.
+
+    Standalone planning view; :func:`remove_duplicated_lines` derives the
+    same set from its own explode so that the corpus text is scanned once
+    for both the set and the removal indexes.
+    """
     lines = df.select(
         F.explode_outer(
             F.array_distinct(
@@ -106,37 +134,107 @@ def remove_duplicated_lines(
     Deterministic: removal depends only on corpus content, never on
     partitioning or row order.
     """
-    reserved = {out_col, "n_lines", "n_removed"} & set(df.columns)
+    reserved = (
+        {out_col, "n_lines", "n_removed"} | set(_INTERNAL_COLS)
+    ) & set(df.columns)
     if reserved:
         raise ValueError(
             f"input already has reserved output column(s) {sorted(reserved)}; "
             "rename them (or pass out_col=) before remove_duplicated_lines"
         )
     lines_arr = _split_lines(F.col(text_col), sep)
-    dup = duplicated_line_stats(df, text_col, min_count, sep).select(
-        F.col("line_hash").alias("_pt_h")
+    # ONE (hash, doc) aggregation feeds both the duplicated-line set and
+    # the removal indexes: both branches below contain this frame's
+    # partial-aggregate exchange byte-for-byte, so the physical plan
+    # materializes the text-scan→explode→partial-collect subtree ONCE
+    # (ReusedExchange / AQE stage reuse) and the text is scanned a single
+    # time for the whole detection job — see the module docstring, step 3.
+    grouped = (
+        df.select(
+            F.col(id_col).alias("_pt_id"),
+            F.posexplode(F.transform(lines_arr, _line_hash)).alias(
+                "_pt_idx", "_pt_h"
+            ),
+        )
+        # empty lines are never removable, so drop them before the shuffle.
+        # NULL-id docs are dropped too: the id-keyed rewrite join can never
+        # match them (so they are never cleaned), and filtering here —
+        # rather than letting the join's inferred isnotnull constraint land
+        # on only ONE copy of this subtree — keeps both branches' plans
+        # identical so the exchange stays reusable.  (This also matches the
+        # oracle's count(DISTINCT doc_id), which ignores NULL ids.)
+        .filter(
+            (F.col("_pt_h") != _EMPTY_LINE_HASH)
+            & F.col("_pt_id").isNotNull()
+        )
+        .groupBy("_pt_h", "_pt_id")
+        .agg(F.collect_list("_pt_idx").alias("_pt_idxs"))
     )
-    exploded = df.select(
-        F.col(id_col).alias("_pt_id"),
-        F.posexplode(F.transform(lines_arr, _line_hash)).alias(
-            "_pt_idx", "_pt_h"
-        ),
+    # Optimizer fence: ``size(_pt_idxs) >= 0`` is always true (collect_list
+    # never yields NULL) but Catalyst cannot prove it, so referencing it in
+    # BOTH derived branches (a) stops column pruning from dropping the
+    # collect_list out of the dup branch and (b) stops
+    # PushDownLeftSemiAntiJoin from sinking the semi join below the shared
+    # aggregate — either rewrite would make the two exchange subtrees
+    # differ and cost a second full text scan (verified by
+    # test_remove_duplicated_lines_two_scans; without the fence the
+    # detection job plans 2 FileScans, with it 1 + ReusedExchange).
+    _alive = F.size(F.col("_pt_idxs")) >= 0
+    # count of (hash, doc) groups per hash == distinct docs per hash; the
+    # coalesce keeps _pt_id referenced (same column set both branches)
+    # without changing the count (it is non-null either way)
+    dup = (
+        grouped.groupBy("_pt_h")
+        .agg(
+            F.count(
+                F.when(_alive, F.coalesce(F.col("_pt_id"), F.lit(0)))
+            ).alias("_pt_n")
+        )
+        .filter(F.col("_pt_n") >= min_count)
+        .select(F.col("_pt_h").alias("_pt_h_dup"))
     )
     removals = (
-        exploded.join(dup, "_pt_h", "left_semi")
+        grouped.join(
+            dup,
+            (F.col("_pt_h") == F.col("_pt_h_dup")) & _alive,
+            "left_semi",
+        )
         .groupBy("_pt_id")
-        .agg(F.collect_list("_pt_idx").alias("_pt_rm"))
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("_pt_idxs"))).alias(
+                "_pt_rm"
+            )
+        )
     )
     joined = df.join(
         removals, df[id_col] == removals["_pt_id"], "left"
     ).drop("_pt_id")
-    # materialize the split ONCE per row (Generate barrier): the filter
-    # lambda, the rejoin, and n_lines all reference it, and Catalyst does
-    # not CSE across higher-order-function boundaries (repo invariant)
+    # materialize the split and the slice bounds ONCE per row (Generate
+    # barrier): the slice lambda, the rejoin, and n_lines all reference
+    # them, and Catalyst does not CSE across higher-order-function
+    # boundaries (repo invariant)
     joined = _materialize(joined, _pt_lines=lines_arr)
     la = F.col("_pt_lines")
     rm = F.coalesce(F.col("_pt_rm"), F.array().cast("array<int>"))
-    kept = F.filter(la, lambda l, i: ~F.array_contains(rm, i))
+    # removal indexes are distinct (posexplode positions) and sorted; the
+    # kept lines are the slices BETWEEN consecutive removals, with -1 and
+    # size(la) as sentinels.  Each slice copies its segment once →
+    # O(lines + removals) per document, order preserved.
+    bounds = F.concat(
+        F.array(F.lit(-1)), rm, F.array(F.coalesce(F.size(la), F.lit(0)))
+    )
+    joined = _materialize(joined, _pt_bounds=bounds)
+    bc = F.col("_pt_bounds")
+    kept = F.flatten(
+        F.transform(
+            F.slice(bc, 1, F.size(bc) - 1),
+            lambda prev, j: F.slice(
+                la,
+                prev + F.lit(2),
+                F.element_at(bc, j + F.lit(2)) - prev - F.lit(1),
+            ),
+        )
+    )
     return (
         joined.withColumn(
             out_col,
@@ -150,6 +248,11 @@ def remove_duplicated_lines(
             .otherwise(F.lit(0))
             .cast("long"),
         )
-        .withColumn("n_removed", F.size(rm).cast("long"))
-        .drop("_pt_rm", "_pt_lines")
+        .withColumn(
+            "n_removed",
+            F.when(F.col(text_col).isNotNull(), F.size(rm))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_pt_rm", "_pt_lines", "_pt_bounds")
     )

@@ -1889,6 +1889,77 @@ def test_remove_duplicated_lines_random_vs_reference(spark):
         assert got == expected, f"seed {seed}"
 
 
+def test_remove_duplicated_lines_two_scans(spark, tmp_path):
+    """The corpus text is scanned exactly TWICE (detection + rewrite): the
+    dup-set and the removal indexes share one (hash, doc) aggregate whose
+    exchange is materialized once (ReusedExchange).  Without the optimizer
+    fence in lines.py the detection job plans a third full text scan."""
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"unique {i}\nBANNER\nFOOTER") for i in range(50)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = remove_duplicated_lines(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["text_clean"] == f"unique {r['doc_id']}" for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE final plan (the section before the echoed initial plan)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 2, final
+    assert final.count("ReusedExchange") == 1, final
+
+
+def test_remove_duplicated_lines_boilerplate_heavy_doc(spark):
+    """A document where removals DOMINATE (500 of 1000 lines boilerplate):
+    the slice-based rewrite is O(lines + removals) — the plan must not
+    carry the per-line array_contains membership probe, whose cost is
+    O(lines × removals) exactly on this shape."""
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    n = 1000
+    heavy = "\n".join(
+        f"boiler {i // 2}" if i % 2 == 0 else f"unique {i}" for i in range(n)
+    )
+    other = "\n".join(f"boiler {i}" for i in range(n // 2))
+    docs = spark.createDataFrame(
+        [(1, heavy), (2, other)], "doc_id long, text string"
+    )
+    out = remove_duplicated_lines(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_contains" not in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_lines"] == n and got[1]["n_removed"] == n // 2
+    assert got[1]["text_clean"] == "\n".join(
+        f"unique {i}" for i in range(1, n, 2)
+    )
+    assert got[2]["text_clean"] == "" and got[2]["n_removed"] == n // 2
+
+
+def test_remove_duplicated_lines_internal_column_guard(spark):
+    """Input frames already carrying a _pt_* bookkeeping name get the same
+    clear ValueError as the output-column collisions — not an ambiguous-
+    reference AnalysisException mid-plan."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="_pt_rm"):
+        remove_duplicated_lines(
+            docs.withColumn("_pt_rm", F.lit(0)), "doc_id", "text"
+        )
+    with pytest.raises(ValueError, match="_pt_lines"):
+        remove_duplicated_lines(
+            docs.withColumn("_pt_lines", F.lit(0)), "doc_id", "text"
+        )
+
+
 def test_remove_duplicated_lines_regex_metachar_separator(spark):
     """sep is a LITERAL separator, not a regex: '|' (or '.') must split
     only on itself — an unescaped pattern would split between every

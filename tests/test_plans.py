@@ -91,10 +91,14 @@ EXCHANGE_BUDGET = {
     # dim build (1) + (source,salt)-keyed join + final per-lang agg; the
     # replicated dim broadcasts
     "salted_join": 3,
-    # hash-only dup-set count (1) + removal-index groupBy (1) + the two
-    # sides of the id-keyed rewrite join; text shuffles at most once and
-    # never by line hash
-    "line_dedup": 4,
+    # shared (hash, doc) aggregate appearing in BOTH detection branches
+    # (2 static — ReusedExchange collapses them to one at runtime, so the
+    # text is scanned once for detection; see
+    # test_remove_duplicated_lines_two_scans) + dup-set count (1) + its
+    # broadcast (1) + removal-index groupBy (1) + the id-keyed rewrite
+    # join's broadcast (1); text shuffles at most once and never by line
+    # hash
+    "line_dedup": 6,
     "per_partition_report": 1,
     "orders_join_revenue": 2,
     "customer_nation_join": 3,
