@@ -65,31 +65,60 @@ def connected_components(
     cost of one distributed write per round.  Labels are identical either
     way — only durability changes.
 
-    Reliable-mode housekeeping: rounds checkpoint into per-round
-    subdirectories of *checkpoint_dir* and each round's files are deleted
-    as soon as the next round's checkpoint supersedes them (Spark itself
-    never deletes checkpoints unless the non-default
-    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on); the
-    application's previously-configured checkpoint dir, if any, is
-    restored on return.  The ``init`` subdir (the symmetrized edge list,
-    read every round) and the FINAL round's subdir back the returned
-    DataFrame — delete *checkpoint_dir* only after consuming or
-    persisting the result.
+    Reliable-mode housekeeping: each CALL works under its own unique
+    ``run-<id>`` subdirectory of *checkpoint_dir*, so concurrent or
+    repeated ``connected_components`` runs sharing a *checkpoint_dir*
+    never delete each other's files (an earlier run's final-round
+    checkpoints stay valid for its returned DataFrame).  Within a run,
+    rounds checkpoint into per-round subdirectories and each round's
+    files are deleted as soon as the next round's checkpoint supersedes
+    them (Spark itself never deletes checkpoints unless the non-default
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on).  The
+    ``init`` subdir (the symmetrized edge list, read every round) and the
+    FINAL round's subdir back the returned DataFrame — delete that run
+    directory (or *checkpoint_dir*) only after consuming or persisting
+    the result.
+
+    The checkpoint directory is SESSION-GLOBAL state: while this operator
+    runs in reliable mode, an app-level ``df.checkpoint()`` on the same
+    SparkContext would land inside the current round subdir and be
+    deleted when that round is superseded — do not run concurrent
+    checkpoint users alongside a reliable-mode call.  On return the
+    previously-configured checkpoint dir is restored (Spark resolves a
+    configured dir to ``<dir>/<uuid>``; the uuid suffix is stripped so
+    repeated calls do not nest).  If NO checkpoint dir was configured
+    before the call, the session's checkpoint dir remains pointed at this
+    run's final-round subdir — reconfigure it before any later app-level
+    ``df.checkpoint()`` if you intend to delete *checkpoint_dir*.
     """
     use_reliable = checkpoint_dir is not None
     if use_reliable:
+        import re
+        import uuid
+
         spark = pairs.sparkSession
         sc = spark.sparkContext
         prev_opt = sc._jsc.sc().getCheckpointDir()
         prev_dir = prev_opt.get() if prev_opt.isDefined() else None
+        if prev_dir is not None:
+            # getCheckpointDir returns the uuid-RESOLVED path
+            # (<configured>/<uuid> — see setCheckpointDir); restore the
+            # CONFIGURED root, else every call nests one more uuid level
+            prev_dir = re.sub(
+                r"/[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
+                r"-[0-9a-f]{4}-[0-9a-f]{12}/?$",
+                "",
+                prev_dir,
+            )
+        run_dir = f"{checkpoint_dir}/run-{uuid.uuid4().hex[:12]}"
 
         def _set_dir(name: str) -> None:
-            sc.setCheckpointDir(f"{checkpoint_dir}/{name}")
+            sc.setCheckpointDir(f"{run_dir}/{name}")
 
         def _delete_dir(name: str) -> None:
             try:
                 path = spark._jvm.org.apache.hadoop.fs.Path(
-                    f"{checkpoint_dir}/{name}"
+                    f"{run_dir}/{name}"
                 )
                 fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
                 fs.delete(path, True)

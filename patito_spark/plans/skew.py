@@ -27,13 +27,20 @@ DEFAULT_SALT = 16
 def with_salt(df: DataFrame, salt_buckets: int = DEFAULT_SALT) -> DataFrame:
     """Attach a deterministic-per-row salt column ``_salt`` in [0, S).
 
-    Uses ``monotonically_increasing_id`` (partition-local counter — no rng,
-    so retried tasks produce the same salt and the job stays deterministic).
+    The salt is ``xxhash64`` over the FULL ROW CONTENT, so it depends only
+    on the data — never on partitioning, row order, or task retries (a
+    ``monotonically_increasing_id``-based salt is stable only while
+    upstream row order is; a retried stage after a shuffle can re-deal
+    it).  Residual: rows that are fully identical land in the same bucket,
+    so a table whose hot key consists of BYTE-IDENTICAL duplicate rows
+    does not spread — every real skew case (same key, differing payloads)
+    does.  Join correctness never depends on the salt value (the dim side
+    is replicated across all buckets).
     """
     return df.withColumn(
         "_salt",
         F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
         ).cast("int"),
     )
 

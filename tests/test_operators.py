@@ -1674,16 +1674,43 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for f in files
     ]
     assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
-    # housekeeping: only 'init' and the FINAL round's subdir survive —
-    # superseded rounds are deleted as the propagation advances
-    subdirs = sorted(os.listdir(ckdir))
+    # each call is scoped under its own run-<id> subdir; within it only
+    # 'init' and the FINAL round survive — superseded rounds are deleted
+    # as the propagation advances
+    runs = sorted(os.listdir(ckdir))
+    assert len(runs) == 1 and runs[0].startswith("run-")
+    subdirs = sorted(os.listdir(os.path.join(ckdir, runs[0])))
     rounds = [d for d in subdirs if d.startswith("round-")]
     assert "init" in subdirs and len(rounds) <= 2
     # the application's previously-configured checkpoint dir is restored
-    # (Spark resolves a configured dir to <dir>/<uuid>, so compare by
-    # containment — the restored dir must be back inside the app's tree)
+    # to the CONFIGURED root (uuid suffix stripped), so repeated calls do
+    # not nest one uuid level per call
     restored = spark.sparkContext._jsc.sc().getCheckpointDir()
     assert restored.isDefined() and "app_checkpoints" in restored.get()
+    first_restored = restored.get()
+    # a second run sharing checkpoint_dir gets its OWN run dir and leaves
+    # the first run's surviving files untouched
+    before = set(written) & {
+        os.path.join(root, f)
+        for root, _, files in os.walk(os.path.join(ckdir, runs[0]))
+        for f in files
+    }
+    again = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert again == default
+    assert len(os.listdir(ckdir)) == 2
+    after = {
+        os.path.join(root, f)
+        for root, _, files in os.walk(os.path.join(ckdir, runs[0]))
+        for f in files
+    }
+    assert before <= after, "second run deleted first run's checkpoints"
+    # restore is idempotent: no <uuid>/<uuid> nesting across calls
+    restored2 = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    stripped = lambda p: p.rstrip("/").rsplit("/", 1)[0]  # noqa: E731
+    assert stripped(restored2) == stripped(first_restored)
 
 
 def test_drop_near_duplicates_tolerates_reserved_column_names(spark):

@@ -53,6 +53,24 @@ def test_salt_spreads_hot_key(spark, skewed):
     assert len(spread) == 8  # hot key occupies every salt bucket
 
 
+def test_salt_is_content_deterministic(spark, skewed):
+    """The salt depends only on row content: re-partitioned / re-ordered
+    input deals every row the same bucket (the property a retried stage
+    needs — a row-order-based salt cannot guarantee it)."""
+    base = {
+        r["row_id"]: r["_salt"]
+        for r in with_salt(skewed, salt_buckets=8).collect()
+    }
+    reshuffled = {
+        r["row_id"]: r["_salt"]
+        for r in with_salt(
+            skewed.repartition(13).sortWithinPartitions(F.col("row_id").desc()),
+            salt_buckets=8,
+        ).collect()
+    }
+    assert reshuffled == base
+
+
 def test_left_salted_join_keeps_unmatched(spark, skewed):
     dim = spark.createDataFrame([("hot.example.com", 1)], "domain string, v int")
     out = salted_join(skewed, dim, "domain", how="left")
@@ -147,8 +165,19 @@ def test_clean_corpus_stages(spark):
     )
     kept = sorted(r["doc_id"] for r in cleaned.collect())
     assert kept == [1, 6]  # lowest id wins the dup group
-    stats = clean_corpus_stats(cleaned, df).collect()[0]
+    sc = spark.sparkContext
+    sc.setJobGroup("ccs_build", "clean_corpus_stats plan construction")
+    stats_df = clean_corpus_stats(cleaned, df)
+    assert stats_df.columns == ["rows_in", "rows_kept", "retention"]
+    # constructing the report is LAZY — zero jobs (the old shape ran two
+    # driver-side count() actions before returning); both counts are one
+    # union-aggregate plan, executed only when the caller collects (AQE
+    # may split that single execution into multiple scheduler jobs)
+    assert len(sc.statusTracker().getJobIdsForGroup("ccs_build")) == 0
+    assert "Union" in stats_df._jdf.queryExecution().optimizedPlan().toString()
+    stats = stats_df.collect()[0]
     assert stats["rows_in"] == 6 and stats["rows_kept"] == 2
+    assert stats["retention"] == pytest.approx(round(2 / 6, 6))
 
 
 def test_prepare_training_corpus_end_to_end(spark):
