@@ -343,6 +343,13 @@ def run_headline() -> tuple:
     # contract queries (driver-artifact packaging), and timing the original
     # single-concern workloads keeps headline numbers comparable across
     # rounds (same queries r1-r5).
+    # window attribution (VERDICT r5 item 7): measure host-deliverable
+    # compute immediately before the headline loop — the same calibration
+    # the scaling ladder uses — so a hostile-window artifact is
+    # self-identifying.  Compare against quiet-window reference values in
+    # BENCH/BASELINE.md: a probe well below them means the headline sum is
+    # host-starved, not an engine regression.
+    headline_cal = _deliverable_compute(CPUS)
     qs = {name: getattr(entrymod, f"q_{name}") for name in HEADLINE}
     # best-of-N per query (VERDICT r2 item 2): single-shot timings swing
     # with host windows, making regressions unattributable.  Pass order is
@@ -360,14 +367,14 @@ def run_headline() -> tuple:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
     spark.stop()
-    return timings
+    return timings, round(headline_cal)
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-run":
         scale_child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
         return
-    timings = run_headline()
+    timings, headline_cal = run_headline()
     scaling = {}
     if os.environ.get("PATITO_BENCH_SKIP_SCALING") != "1":
         scaling = run_scaling()
@@ -378,6 +385,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "headline_reps": int(os.environ.get("PATITO_BENCH_HEADLINE_REPS", "2")),
+        # md5-probe iterations/sec deliverable to CPUS parallel workers,
+        # measured seconds before the headline loop; quiet-window reference
+        # values live in BENCH/BASELINE.md — a probe far below them marks
+        # the headline sum as host-starved (window-attributed artifact)
+        "deliverable_compute_headline": headline_cal,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "scaling": scaling,
     }

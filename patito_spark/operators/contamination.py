@@ -34,14 +34,31 @@ from ..plans.uniqueness import BROADCAST_SIZE_THRESHOLD, _estimated_bytes
 from .dedup import _materialize
 
 #: What actually broadcasts is the DISTINCT n-gram md5-prefix set, not the
-#: text: one ~16-char string row per word position plus hashed-relation
-#: overhead is roughly 5-10x the raw text bytes (each word appears in n
-#: shingles and each shingle becomes a 16-hex row + join-table slots).  The
-#: plan-size estimate sees the TEXT column, so the broadcast decision must
-#: derate the threshold by this expansion factor — otherwise an eval set
-#: estimating just under the limit forces a multi-GB broadcast and OOMs
-#: executors at the documented scale.
-NGRAM_BROADCAST_EXPANSION = 8
+#: text, and the plan-size estimate sees the (parquet-compressed) TEXT
+#: column — so the broadcast decision must derate the threshold by this
+#: expansion factor, else an eval set estimating just under the limit
+#: forces a multi-GB broadcast and OOMs executors at the documented scale.
+#: MEASURED (2026-08-17, fixtures sf0.01 + sf0.1, SizeEstimator over the
+#: collected distinct-set UnsafeRows — 92 bytes per 16-hex row in memory):
+#: n=8 → 95.5x (sf0.01) / 104.3x (sf0.1) the text plan estimate; n=3
+#: saturates the shingle space and measures lower (68.7x / 12.6x).  The
+#: binding direction is the large-n non-saturating one, so the derate is
+#: set to 104 — the worst measured ratio (the hashed-relation build adds
+#: pointer overhead but drops per-row object headers, so the collected-row
+#: measurement is the right order).  Net gate: eval text estimating
+#: ≤ ~2.5 MB (≈ benchmark-sized) broadcasts; corpus-scale sides shuffle.
+NGRAM_BROADCAST_EXPANSION = 104
+
+
+def _ngram_broadcast_ok(df: DataFrame, text_col: str) -> bool:
+    """True when *df*'s distinct n-gram set is safely broadcastable: its
+    TEXT plan estimate must clear the broadcast threshold derated by the
+    measured text→n-gram-relation expansion (see
+    ``NGRAM_BROADCAST_EXPANSION``)."""
+    return (
+        _estimated_bytes(df.select(text_col))
+        <= BROADCAST_SIZE_THRESHOLD // NGRAM_BROADCAST_EXPANSION
+    )
 
 
 def _doc_ngram_hashes(
@@ -90,15 +107,11 @@ def ngram_contamination(
         F.col("_h").isNotNull()
     )
     # derated gate: see NGRAM_BROADCAST_EXPANSION — the broadcast relation
-    # is the n-gram set, several times larger than the text being estimated
-    ngram_threshold = BROADCAST_SIZE_THRESHOLD // NGRAM_BROADCAST_EXPANSION
+    # is the n-gram set, two orders of magnitude larger than the estimated
+    # (compressed) text bytes in the measured worst case
     if broadcast_eval is None:
-        broadcast_eval = (
-            _estimated_bytes(eval_df.select(text_col)) <= ngram_threshold
-        )
-    train_small = (
-        _estimated_bytes(train_df.select(text_col)) <= ngram_threshold
-    )
+        broadcast_eval = _ngram_broadcast_ok(eval_df, text_col)
+    train_small = _ngram_broadcast_ok(train_df, text_col)
     if broadcast_eval:
         # scored side is small (the usual benchmark-vs-corpus direction):
         # broadcast ITS n-gram set, scan the big train side once against it

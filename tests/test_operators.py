@@ -615,6 +615,35 @@ def test_ngram_contamination_reversed_direction_broadcasts_small_side(spark):
     assert got == {10: 1, 11: 0}
 
 
+def test_ngram_broadcast_gate_is_derated(spark, tmp_path, monkeypatch):
+    """An eval set whose TEXT estimate is just under the raw broadcast
+    threshold must NOT broadcast: the actual broadcast relation is its
+    n-gram set, measured at up to ~104x the text plan estimate
+    (NGRAM_BROADCAST_EXPANSION) — only sets under threshold/expansion may
+    broadcast."""
+    from patito_spark.operators import contamination as cm
+
+    path = str(tmp_path / "eval_docs")
+    spark.createDataFrame(
+        [(i, f"some evaluation question text number {i}") for i in range(200)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    est = cm._estimated_bytes(docs.select("text"))
+    assert est > 0
+    # threshold just ABOVE the raw estimate: pre-derate logic would say
+    # broadcast; the derated gate must refuse
+    monkeypatch.setattr(cm, "BROADCAST_SIZE_THRESHOLD", est + 1)
+    assert not cm._ngram_broadcast_ok(docs, "text")
+    # comfortably under the DERATED threshold: broadcast allowed
+    monkeypatch.setattr(
+        cm,
+        "BROADCAST_SIZE_THRESHOLD",
+        est * cm.NGRAM_BROADCAST_EXPANSION * 2,
+    )
+    assert cm._ngram_broadcast_ok(docs, "text")
+
+
 def test_ngram_contamination_counts_distinct_ngrams_once(spark):
     from patito_spark.operators.contamination import ngram_contamination
 
