@@ -1050,6 +1050,68 @@ FROM reach GROUP BY a
 """
 
 
+def q_near_dup_keep_best(spark, sf_dir):
+    """The production dedup path: ``drop_near_duplicates(keep_by=...)``
+    keeps the BEST row per near-duplicate cluster instead of the smallest
+    id — here the longest text wins (near-dups differ by truncation /
+    boilerplate, and training wants the fullest copy), with id ascending
+    as the deterministic tiebreaker.  char_length is an integer, so the
+    ranking is bit-portable cross-engine (float quality scores can flip a
+    rank on a 1-ulp difference — repo invariant).  At sf0.01 the ranking
+    genuinely decides: 14 survivors differ from the default smallest-id
+    path.  The oracle resolves the same SimHash pair graph with a
+    recursive transitive-closure CTE and picks survivors with an
+    independent window-rank + NOT IN formulation."""
+    from patito_spark.operators.components import drop_near_duplicates
+    from patito_spark.operators.dedup import simhash_candidate_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    pairs = simhash_candidate_pairs(
+        docs, "doc_id", "text_norm", max_hamming=3, chunks=4, max_bucket_size=64
+    )
+    survivors = drop_near_duplicates(
+        docs, "doc_id", pairs, keep_by=F.char_length(F.col("text")).desc()
+    )
+    return survivors.select(
+        "doc_id", F.char_length("text").cast("long").alias("text_len")
+    )
+
+
+def _sql_near_dup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE pr AS ({_sql_simhash_pairs()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pr
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY length(d.text) DESC NULLS LAST, c.doc_id ASC
+         ) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+),
+losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+SELECT d.doc_id, length(d.text)::BIGINT AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def q_embedding_topk_blockwise(spark, sf_dir):
     """The Arrow/numpy blockwise ANN path, gate-checked against the same
     SQL oracle as the native-Column brute force (identical semantics)."""
@@ -2766,13 +2828,14 @@ FROM joined
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is execution order for the driver's correctness gate.
-    # 49 entries < the artifact's 50-row cap, so EVERY query gets a
-    # driver-recorded row; the historically slowest oracle paths
-    # (near_dup_clusters' recursive-CTE twin, embedding_near_dups,
+    # 50 entries == the artifact's 50-row cap exactly, so EVERY query gets
+    # a driver-recorded row; the historically slowest oracle paths
+    # (the two recursive-CTE component twins, embedding_near_dups,
     # ks_drift_by_lang, ivf_topk, the merged minhash/media queries) still
     # sit near the FRONT as belt-and-braces against any time budget.
     return {
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_keep_best": q_near_dup_keep_best,
         "embedding_near_dups": q_embedding_near_dups,
         "ks_drift_by_lang": q_ks_drift_by_lang,
         "ivf_topk": q_ivf_topk,
@@ -2827,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "near_dup_clusters": _sql_near_dup_clusters(),
+        "near_dup_keep_best": _sql_near_dup_keep_best(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         "ks_drift_by_lang": SQL_KS_DRIFT_BY_LANG,
         "ivf_topk": SQL_IVF_TOPK,

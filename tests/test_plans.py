@@ -70,6 +70,11 @@ EXCHANGE_BUDGET = {
     # (localCheckpoint), so the FINAL plan is a checkpoint scan — the
     # per-round shuffles happen during construction, one per iteration
     "near_dup_clusters": 0,
+    # keep_by= canonical path: components resolve via checkpoint scans
+    # (0, as above); the quality ranking runs only over pair members —
+    # comps⋈docs join (2) + per-component window (1) + the corpus-side
+    # anti join (3, loser side broadcasts under AQE at runtime)
+    "near_dup_keep_best": 6,
     "ngram_jaccard": 1,
     # brute (2) + blockwise (1) + int8 (2) unioned for the driver artifact
     "embedding_topk_all": 5,
