@@ -18,7 +18,12 @@ two partial-aggregated shuffles (term counts per doc, document
 frequency per term), a term-keyed join (AQE-broadcastable when the
 vocabulary is small), and a per-document window rank (hash-partitioned,
 local sort — never a global sort).  The shuffle carries (doc id, term,
-count) triples, never document text.
+count) triples, never document text — and the text is SCANNED ONCE:
+both the tf side and the docfreq side of the join consume the same
+(doc, term) aggregate, whose exchange is materialized once at runtime
+(ReusedExchange; the docfreq count carries an optimizer fence so column
+pruning cannot split the shared subtree — same technique as
+``operators/lines.py``, asserted by test_keyword_tfidf_single_text_scan).
 """
 
 from __future__ import annotations
@@ -50,7 +55,18 @@ def keyword_tfidf(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
     )
     tf = pairs.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # Optimizer fence (see operators/lines.py): ``tf >= 1`` is always true
+    # (a count over a non-empty group) and the coalesced _id is never
+    # null-counted away, but Catalyst can prove neither — so this branch
+    # keeps referencing the SAME columns the join branch needs, column
+    # pruning cannot narrow the shared (doc, term) aggregate, and its
+    # exchange is reused instead of re-scanning the corpus text.  The
+    # count value is identical to count(1): one per (doc, term) row.
+    docfreq = tf.groupBy("_t").agg(
+        F.count(
+            F.when(F.col("tf") >= 1, F.coalesce(F.col("_id"), F.lit(0)))
+        ).alias("_df")
+    )
     # the corpus document count N is folded into the PLAN as a broadcast
     # one-row aggregate instead of a separate df.count() action: one fewer
     # job, and when df is a filtered/derived frame the corpus is not

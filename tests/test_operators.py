@@ -510,6 +510,34 @@ def test_keyword_tfidf_ranks_rare_terms_first(spark):
     assert {r["term"] for r in strict} == {"common"}
 
 
+def test_keyword_tfidf_single_text_scan(spark, tmp_path):
+    """The tf and docfreq sides of the term join consume one shared
+    (doc, term) aggregate: its exchange must be REUSED at runtime, so the
+    corpus text is scanned once for scoring (plus the column-pruned
+    metadata-only scan of the N-count fold)."""
+    from patito_spark.operators.keywords import keyword_tfidf
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i} gamma") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = keyword_tfidf(docs, "doc_id", "text", k=2)
+    rows = out.collect()
+    # per-doc rare term w{i} (df=1) outranks the common terms
+    top = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
+    assert top == {i: f"w{i}" for i in range(40)}
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # 2 scans: the shared (doc, term) subtree (text) + the N-count fold
+    # (metadata-only); without the fence the text scans twice (3 total)
+    assert final.count("FileScan") == 2, final
+    assert final.count("ReusedExchange") == 1, final
+
+
 # -- sequence packing --------------------------------------------------------------------------------
 
 
