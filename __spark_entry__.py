@@ -2646,15 +2646,30 @@ def q_minhash_all(spark, sf_dir):
     tagged union: kind='pair' rows carry (k1=id_a, k2=id_b); kind='audit'
     rows carry (k1=band, k2=n_buckets, k3=n_pair_buckets, k4=n_oversized).
     Pair generation runs at the production cap (64); the audit runs at
-    cap=2 so the oversized-drop gate provably fires at oracle SF."""
-    pairs = q_minhash_pairs(spark, sf_dir).select(
+    cap=2 so the oversized-drop gate provably fires at oracle SF.  Since
+    r6 both legs hang off ONE banded frame
+    (``minhash_pairs_with_audit``): the signature stage — the per-row hot
+    loop — computes once and the text scans once (ReusedExchange), where
+    the previous two-function composition ran it twice."""
+    from patito_spark.operators.dedup import minhash_pairs_with_audit
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("text_norm", F.array_join(_tokens(F.col("text")), " "))
+    )
+    pair_df, audit_df = minhash_pairs_with_audit(
+        docs, "doc_id", "text_norm", num_hashes=8, bands=4, shingle_n=3,
+        max_bucket_size=64, audit_max_bucket_size=2,
+    )
+    pairs = pair_df.select(
         F.lit("pair").alias("kind"),
         F.col("id_a").cast("long").alias("k1"),
         F.col("id_b").cast("long").alias("k2"),
         F.lit(None).cast("long").alias("k3"),
         F.lit(None).cast("long").alias("k4"),
     )
-    audit = q_minhash_bucket_audit(spark, sf_dir).select(
+    audit = audit_df.select(
         F.lit("audit").alias("kind"),
         F.col("band").cast("long").alias("k1"),
         F.col("n_buckets").cast("long").alias("k2"),

@@ -219,7 +219,14 @@ def minhash_candidate_pairs(
         banded, ["band", "bucket"], max_bucket_size,
         F.sort_array(F.collect_list("_id")).alias("ids"),
     )
-    pairs = (
+    return _pairs_from_bucket_ids(ok)
+
+
+def _pairs_from_bucket_ids(ok: DataFrame) -> DataFrame:
+    """Distinct ``(id_a, id_b)`` with id_a < id_b from per-bucket sorted
+    ``ids`` arrays (bucket sizes already gated, so the per-bucket pair
+    expansion is bounded)."""
+    return (
         ok.select(
             F.explode(
                 F.flatten(
@@ -239,7 +246,83 @@ def minhash_candidate_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return pairs
+
+
+def minhash_pairs_with_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    audit_max_bucket_size: int = None,
+) -> tuple:
+    """Candidate pairs AND the per-band gate audit over ONE banded frame.
+
+    Running :func:`minhash_candidate_pairs` and
+    :func:`minhash_bucket_audit` separately recomputes the expensive
+    signature stage (tokenize → shingle → one-md5-per-shingle → minwise →
+    bands — the per-row hot loop at corpus scale) and scans the corpus
+    text twice.  Here both outputs hang off the SAME bucket-sized frame:
+    the (band, bucket) window exchange is materialized once at runtime
+    (ReusedExchange — the audit's size aggregate carries an optimizer
+    fence referencing the pair leg's column set, so column pruning cannot
+    narrow its copy of the shared subtree; technique documented in
+    ``operators/lines.py``), the text is scanned once, and the signature
+    arithmetic runs once per row.  Asserted by
+    ``test_minhash_pairs_with_audit_single_scan``.
+
+    Pair generation gates at ``max_bucket_size``; the audit accounts at
+    ``audit_max_bucket_size`` (defaults to the same cap — pass a tighter
+    one to stress the gate without changing the pair output).  Returns
+    ``(pairs, audit)`` — the same frames the standalone operators
+    produce.
+
+    Sharing caveat (correctness is never affected): the reuse holds as
+    long as the consumer keeps at least one SIZE-DERIVED audit column
+    (``n_pair_buckets`` / ``n_oversized``) — projecting the audit down to
+    ``n_buckets`` alone prunes the fence with the size column and the
+    legs fall back to one scan each.
+    """
+    from pyspark.sql.window import Window
+
+    audit_cap = (
+        max_bucket_size if audit_max_bucket_size is None
+        else audit_max_bucket_size
+    )
+    banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    w = Window.partitionBy("band", "bucket")
+    sized = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+    ok = (
+        sized.filter(
+            (F.col("_bucket_n") > 1)
+            & (F.col("_bucket_n") <= max_bucket_size)
+        )
+        .drop("_bucket_n")
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+    )
+    pairs = _pairs_from_bucket_ids(ok)
+    # one row per bucket, reusing the window's (band, bucket) partitioning
+    # (no new exchange); the count is an optimizer fence — references _id
+    # and _bucket_n so this branch prunes to the same column set as the
+    # pair leg — whose value is the plain per-bucket row count
+    sizes = sized.groupBy("band", "bucket").agg(
+        F.count(
+            F.when(
+                F.col("_bucket_n") >= 1,
+                F.coalesce(F.col("_id").cast("string"), F.lit("")),
+            )
+        ).alias("_n")
+    )
+    gate_ok = (F.col("_n") > 1) & (F.col("_n") <= audit_cap)
+    audit = sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(gate_ok.cast("long")).alias("n_pair_buckets"),
+        F.sum((F.col("_n") > audit_cap).cast("long")).alias("n_oversized"),
+    )
+    return pairs, audit
 
 
 def _minhash_banded(

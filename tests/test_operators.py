@@ -180,6 +180,60 @@ def test_minhash_no_false_exact_misses(spark, docs):
     assert planted <= found
 
 
+def test_minhash_pairs_with_audit_single_scan(spark, tmp_path):
+    """The composed pairs+audit operator matches the standalone operators
+    exactly AND computes the signature stage once: one FileScan plus a
+    ReusedExchange in the final plan of the unioned output."""
+    from patito_spark.operators.dedup import (
+        minhash_bucket_audit,
+        minhash_candidate_pairs,
+        minhash_pairs_with_audit,
+    )
+
+    path = str(tmp_path / "docs")
+    rows = [(i, f"some document body number {i} with shared words") for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # planted dups
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    pairs, audit = minhash_pairs_with_audit(
+        docs, "doc_id", "text", num_hashes=8, bands=4,
+        max_bucket_size=64, audit_max_bucket_size=2,
+    )
+    exp_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=64
+        ).collect()
+    }
+    exp_audit = {
+        tuple(r)
+        for r in minhash_bucket_audit(
+            docs, "doc_id", "text", num_hashes=8, bands=4, max_bucket_size=2
+        ).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == exp_pairs
+    assert {tuple(r) for r in audit.collect()} == exp_audit
+    assert exp_pairs and exp_audit
+    # the audit side must keep a size-derived column (n_pair_buckets /
+    # n_oversized) in the output — q_minhash_all does — else column
+    # pruning removes the fence together with the per-bucket size and the
+    # branches diverge again (one scan per leg)
+    union = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(
+        audit.select(
+            F.col("band").alias("a"), F.col("n_pair_buckets").alias("b")
+        )
+    )
+    union.collect()
+    final = (
+        union._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan") == 1, final
+    assert final.count("ReusedExchange") == 1, final
+
+
 def test_oversized_bucket_never_aggregated(spark, docs):
     # 80 identical "boilerplate" docs form a bucket above max_bucket_size in
     # every band; 2 planted exact dups stay under it.  The pair stage must

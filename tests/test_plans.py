@@ -62,7 +62,11 @@ EXCHANGE_BUDGET = {
     # (group,value) count + distinct-value window + totals + final agg,
     # probs joined as a broadcast literal frame
     "lang_percentiles": 6,
-    # pair generation (3) + cap=2 audit (3) unioned for the driver artifact
+    # pair generation + cap=2 audit over ONE shared banded frame (r6):
+    # the (band,bucket) window exchange appears in both legs statically
+    # (2, ReusedExchange collapses them at runtime — the signature stage
+    # and text scan run once), + the audit's per-band agg, the pair
+    # explode's distinct, and union packaging
     "minhash_all": 6,
     "simhash_values": 1,
     "simhash_pairs": 3,
