@@ -316,8 +316,14 @@ def chi_square_by_group(
         F.col("_b").isNotNull()
     )
     per = base.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_o"))
-    glob = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_gl"))
-    totals = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    # the marginals derive from the per-(group, bucket) counts — NOT from
+    # a re-scan of base: summing _o is identical to recounting, the input
+    # is the tiny per frame, and the shared subtree's exchange is reused
+    # at runtime (the only remaining duplicate scan is the join's right
+    # copy, whose inferred isnotnull(group) filter must not leak into the
+    # marginals — a NULL group legitimately counts toward _gl/_n)
+    glob = per.groupBy("_b").agg(F.sum("_o").alias("_gl"))
+    totals = per.groupBy("_g").agg(F.sum("_o").alias("_n"))
     # every (group, occupied bucket) combination, with o=0 where absent
     grid = totals.crossJoin(glob)
     joined = grid.join(per, ["_g", "_b"], "left").select(

@@ -114,10 +114,15 @@ EXCHANGE_BUDGET = {
     "text_parity": 3,
     # parse + canonicalize, one scan, no shuffle
     "url_features": 0,
-    # per-(g,b) + per-b + per-g counts and their joins, PLUS the one-row
-    # global-total re-aggregation (subtree exchange + SinglePartition merge
-    # + broadcast) that feeds the per-bucket (o-e)^2/e form
-    "chi2_drift_by_lang": 8,
+    # r6: the per-b / per-g / total marginals all derive from the shared
+    # per-(g,b) aggregate instead of re-scanning base — its exchange
+    # appears once per consumer STATICALLY (hence the higher static
+    # count) but is materialized once at runtime (ReusedExchange; scans
+    # 3 → 2, the remainder being the join-right copy whose inferred
+    # isnotnull(group) filter must not leak into the marginals), and the
+    # marginal exchanges now carry tiny count rows instead of full-width
+    # base rows
+    "chi2_drift_by_lang": 11,
     # three Arrow decode stages (each 0-exchange alone) joined on doc_id
     # for the driver artifact: two sort-merge joins at most
     "media_meta": 6,
