@@ -388,6 +388,114 @@ def minhash_bucket_audit(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id, band, bucket)`` banded LSH rows — the PERSISTABLE dedup state.
+
+    The incremental-pipeline split of :func:`minhash_candidate_pairs`:
+    write this once per corpus snapshot (ideally bucketed by
+    ``(band, bucket)`` via ``sources.io.write_bucketed_table``, so the
+    incremental bucket join below is co-located) and feed it to
+    :func:`incremental_minhash_pairs` as each new crawl batch arrives —
+    the signature stage (tokenize → shingle → one-md5-per-shingle →
+    minwise, the per-row hot loop) then runs only over the new rows,
+    never again over the full corpus.  8-byte band keys per row; the
+    store is ``bands`` rows per document, hashes and ids only.
+    """
+    banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return banded.select(F.col("_id").alias(id_col), "band", "bucket")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stored_signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a new batch, without recomputing the
+    corpus: new-batch signatures are computed fresh, the corpus
+    contributes only its stored ``(id, band, bucket)`` rows
+    (:func:`minhash_signatures`), and the bucket join finds every
+    new-new and new-old collision.  The daily-crawl production shape at
+    10^12 documents — signature cost is O(batch), corpus cost is one
+    scan of an (ideally bucketed) 3-column table.
+
+    Returns ``(id_a, id_b)`` pairs where AT LEAST ONE side is a new
+    document — old-old pairs were already reported when the store was
+    built.  *num_hashes*/*bands*/*shingle_n* must match the parameters
+    the store was built with (different families collide meaninglessly),
+    and batch ids must be disjoint from stored ids (re-crawled documents
+    should have their old store rows replaced first).
+
+    Bucket sizes are gated over the UNION (store + batch), matching what
+    a from-scratch run over the merged corpus would see.  Consequently a
+    bucket pushed past the cap BY the new batch stops producing pairs
+    from this call on — the standard incremental-LSH approximation;
+    :func:`minhash_bucket_audit` over the merged corpus accounts for
+    such drops.
+    """
+    new_banded = minhash_signatures(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumn("_new", F.lit(True))
+    stored = stored_signatures.select(
+        F.col(id_col), F.col("band"), F.col("bucket")
+    ).withColumn("_new", F.lit(False))
+    union = stored.unionByName(new_banded).select(
+        F.col(id_col).alias("_id"), "band", "bucket", "_new"
+    )
+    # collect_list skips NULLs, so _new_ids is exactly the bucket's new
+    # members; buckets are capped, so the per-pair membership probe below
+    # is O(max_bucket_size) worst case
+    ok = _bounded_buckets(
+        union, ["band", "bucket"], max_bucket_size,
+        F.sort_array(F.collect_list("_id")).alias("ids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_new"), F.col("_id")))
+        ).alias("_new_ids"),
+    )
+    exploded = ok.select(
+        "_new_ids",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(
+                            F.get(F.col("ids"), i.cast("int")).alias("id_a"),
+                            b.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return (
+        exploded.filter(
+            (
+                F.array_contains(F.col("_new_ids"), F.col("p.id_a"))
+                | F.array_contains(F.col("_new_ids"), F.col("p.id_b"))
+            )
+            # defensive: a batch id colliding with a stored id would pair
+            # with itself — the disjointness contract above makes this a
+            # no-op, but a violation must not emit (x, x) rows
+            & (F.col("p.id_a") != F.col("p.id_b"))
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def minhash_oversized_buckets(
     df: DataFrame,
     id_col: str,

@@ -234,6 +234,95 @@ def test_minhash_pairs_with_audit_single_scan(spark, tmp_path):
     assert final.count("ReusedExchange") == 1, final
 
 
+def test_incremental_minhash_pairs_matches_from_scratch(spark, tmp_path):
+    """The daily-crawl path: pairs found by scoring a NEW batch against a
+    persisted signature store must equal a from-scratch run over the
+    merged corpus, restricted to pairs touching the batch (old-old pairs
+    were reported when the store was built)."""
+    from patito_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    old_rows = [
+        (i, f"stable corpus document {i} with plenty of filler words here")
+        for i in range(30)
+    ]
+    old_rows += [(100 + i, old_rows[i][1]) for i in range(3)]  # old-old dups
+    new_rows = [(200, old_rows[5][1])]  # new-old dup
+    new_rows += [
+        (201, "fresh page body alpha beta gamma delta"),
+        (202, "fresh page body alpha beta gamma delta"),  # new-new dup
+        (203, "completely unrelated singleton content"),
+    ]
+    kw = dict(num_hashes=8, bands=4, shingle_n=3)
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    # persist the store through parquet — the production round trip
+    store_path = str(tmp_path / "sig_store")
+    minhash_signatures(old, "doc_id", "text", **kw).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_pairs(
+            new, "doc_id", "text", store, **kw
+        ).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    scratch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            old.unionByName(new), "doc_id", "text", **kw
+        ).collect()
+    }
+    expected = {
+        p for p in scratch if p[0] in new_ids or p[1] in new_ids
+    }
+    assert inc == expected
+    # the planted collisions are actually found
+    assert (5, 200) in inc and (201, 202) in inc
+    # and no old-old pair leaks through
+    assert all(a in new_ids or b in new_ids for a, b in inc)
+
+
+def test_incremental_minhash_union_sized_gate(spark):
+    """Bucket sizes are gated over store + batch: a bucket the NEW batch
+    pushes past the cap stops producing pairs — including for its old
+    members — exactly as a from-scratch run over the merged corpus would
+    drop it."""
+    from patito_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    boiler = "identical boilerplate page body repeated everywhere"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(3)], "doc_id long, text string"
+    )
+    store = minhash_signatures(old, "doc_id", "text", num_hashes=8, bands=4)
+    new = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(2)], "doc_id long, text string"
+    )
+    # cap 4: union bucket size 5 > 4 → gate drops it, no pairs at all
+    gated = incremental_minhash_pairs(
+        new, "doc_id", "text", store, num_hashes=8, bands=4, max_bucket_size=4
+    ).collect()
+    assert gated == []
+    # cap 8 admits the bucket: every new-touching pair appears
+    open_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_pairs(
+            new, "doc_id", "text", store, num_hashes=8, bands=4,
+            max_bucket_size=8,
+        ).collect()
+    }
+    assert open_pairs == {
+        (0, 100), (0, 101), (1, 100), (1, 101), (2, 100), (2, 101),
+        (100, 101),
+    }
+
+
 def test_oversized_bucket_never_aggregated(spark, docs):
     # 80 identical "boilerplate" docs form a bucket above max_bucket_size in
     # every band; 2 planted exact dups stay under it.  The pair stage must
