@@ -82,6 +82,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stored_fingerprints: DataFrame,
+) -> DataFrame:
+    """Exact-dedup a NEW batch against an existing corpus's fingerprint
+    store — the daily-increment companion of :func:`exact_dedup` (and of
+    :func:`incremental_minhash_pairs` for the near-dup family).
+
+    *stored_fingerprints* is a one-column ``fingerprint`` frame (write
+    ``exact_dedup``'s corpus once via
+    ``df.select(doc_fingerprint(text).alias('fingerprint')).distinct()``,
+    or accumulate this function's own survivors' fingerprints batch over
+    batch).  Returns the batch rows that survive BOTH gates:
+
+    1. within-batch exact dedup (lowest id wins — identical to
+       ``exact_dedup`` over the batch alone), then
+    2. an anti join against the store (a fingerprint the corpus already
+       contains is a re-crawl, not new data).
+
+    The corpus cost is one scan of the one-column store (broadcast under
+    AQE when batch-sized jobs meet a small store; shuffle hash join on
+    the uniform md5 fingerprint otherwise — no skew by construction).
+    Survivors' fingerprints are in the output (column ``_fp`` is
+    dropped); append ``doc_fingerprint(text)`` of the survivors to the
+    store to advance the snapshot.
+    """
+    deduped = exact_dedup(new_df, id_col, text_col).withColumn(
+        "_fp", doc_fingerprint(F.col(text_col))
+    )
+    store = stored_fingerprints.select(
+        F.col("fingerprint").alias("_fp")
+    ).distinct()
+    return deduped.join(store, "_fp", "left_anti").drop("_fp")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -234,6 +234,51 @@ def test_minhash_pairs_with_audit_single_scan(spark, tmp_path):
     assert final.count("ReusedExchange") == 1, final
 
 
+def test_incremental_exact_dedup(spark, tmp_path):
+    """New-batch exact dedup against a fingerprint store: within-batch
+    dups collapse (lowest id wins), re-crawls of stored content drop, and
+    appending survivor fingerprints advances the snapshot so the NEXT
+    batch dedups against both."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.functions.text import doc_fingerprint
+    from patito_spark.operators.dedup import incremental_exact_dedup
+
+    old = spark.createDataFrame(
+        [(1, "corpus page one"), (2, "corpus page two")],
+        "doc_id long, text string",
+    )
+    store_path = str(tmp_path / "fp_store")
+    old.select(
+        doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct().write.parquet(store_path)
+    new = spark.createDataFrame(
+        [
+            (10, "corpus page one"),     # re-crawl → dropped
+            (11, "fresh content alpha"),
+            (12, "fresh content alpha"), # within-batch dup of 11
+            (13, "fresh content beta"),
+        ],
+        "doc_id long, text string",
+    )
+    store = spark.read.parquet(store_path)
+    out = incremental_exact_dedup(new, "doc_id", "text", store)
+    assert out.columns == ["doc_id", "text"]
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+    # advance the snapshot with the survivors and run a second batch
+    out.select(
+        doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).write.mode("append").parquet(store_path)
+    batch2 = spark.createDataFrame(
+        [(20, "fresh content alpha"), (21, "truly new gamma")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_exact_dedup(
+        batch2, "doc_id", "text", spark.read.parquet(store_path)
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [21]
+
+
 def test_incremental_minhash_pairs_matches_from_scratch(spark, tmp_path):
     """The daily-crawl path: pairs found by scoring a NEW batch against a
     persisted signature store must equal a from-scratch run over the
