@@ -113,10 +113,16 @@ def incremental_exact_dedup(
     deduped = exact_dedup(new_df, id_col, text_col).withColumn(
         "_fp", doc_fingerprint(F.col(text_col))
     )
-    store = stored_fingerprints.select(
+    # The store is corpus-sized; a direct anti join would SHUFFLE it by
+    # fingerprint.  Instead reduce it first: semi-join the store against
+    # the (batch-sized) fingerprint set — AQE broadcasts the small side,
+    # so the store is scanned once and never shuffled — then anti-join
+    # the batch against the (at most batch-sized) hits.
+    batch_fps = deduped.select("_fp").distinct()
+    present = stored_fingerprints.select(
         F.col("fingerprint").alias("_fp")
-    ).distinct()
-    return deduped.join(store, "_fp", "left_anti").drop("_fp")
+    ).join(batch_fps, "_fp", "left_semi")
+    return deduped.join(present, "_fp", "left_anti").drop("_fp")
 
 
 # ---------------------------------------------------------------------------
@@ -484,9 +490,19 @@ def incremental_minhash_pairs(
     new_banded = minhash_signatures(
         new_df, id_col, text_col, num_hashes, bands, shingle_n
     ).withColumn("_new", F.lit(True))
-    stored = stored_signatures.select(
-        F.col(id_col), F.col("band"), F.col("bucket")
-    ).withColumn("_new", F.lit(False))
+    # Only buckets the batch TOUCHES can produce new pairs, so reduce the
+    # corpus-sized store to them before anything shuffles: the semi join
+    # against the (batch-sized) touched-bucket set broadcasts under AQE,
+    # the store is scanned once and never shuffled corpus-wide, and the
+    # bucket-sizing window downstream sees only touched buckets — whose
+    # sizes (all store members + all batch members) are exactly what a
+    # merged from-scratch run would count for them.
+    touched = new_banded.select("band", "bucket").distinct()
+    stored = (
+        stored_signatures.select(F.col(id_col), F.col("band"), F.col("bucket"))
+        .join(touched, ["band", "bucket"], "left_semi")
+        .withColumn("_new", F.lit(False))
+    )
     union = stored.unionByName(new_banded).select(
         F.col(id_col).alias("_id"), "band", "bucket", "_new"
     )

@@ -277,6 +277,15 @@ def test_incremental_exact_dedup(spark, tmp_path):
         batch2, "doc_id", "text", spark.read.parquet(store_path)
     )
     assert sorted(r["doc_id"] for r in out2.collect()) == [21]
+    # the corpus-sized store must never shuffle: it is reduced via a
+    # broadcast semi join against the batch fingerprint set, then the
+    # batch anti-joins the (batch-sized) hits — both joins broadcast
+    final = (
+        out2._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in final
+    assert final.count("BroadcastHashJoin") == 2
 
 
 def test_incremental_minhash_pairs_matches_from_scratch(spark, tmp_path):
