@@ -366,8 +366,12 @@ def run_headline() -> tuple:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+    # second probe AFTER the loop: the pair brackets the whole headline
+    # run, so a window that shifted mid-run (the documented minutes-scale
+    # host swings) is visible in the artifact itself
+    headline_cal_after = _deliverable_compute(CPUS)
     spark.stop()
-    return timings, round(headline_cal)
+    return timings, (round(headline_cal), round(headline_cal_after))
 
 
 def main() -> None:
@@ -386,10 +390,12 @@ def main() -> None:
         "queries": timings,
         "headline_reps": int(os.environ.get("PATITO_BENCH_HEADLINE_REPS", "2")),
         # md5-probe iterations/sec deliverable to CPUS parallel workers,
-        # measured seconds before the headline loop; quiet-window reference
-        # values live in BENCH/BASELINE.md — a probe far below them marks
-        # the headline sum as host-starved (window-attributed artifact)
-        "deliverable_compute_headline": headline_cal,
+        # measured immediately before and after the headline loop;
+        # reference (probe, sum) pairs live in BENCH/BASELINE.md — probes
+        # far below them mark the headline sum as host-starved, and a
+        # large before/after gap marks a mid-run window shift
+        "deliverable_compute_headline": headline_cal[0],
+        "deliverable_compute_headline_after": headline_cal[1],
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "scaling": scaling,
     }
