@@ -664,6 +664,31 @@ def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
     return result
 
 
+def _simhash_banded(
+    df: DataFrame, id_col: str, text_col: str, chunks: int
+) -> DataFrame:
+    """``(_id, _sh, chunk, value)`` pigeonhole-banded signature rows."""
+    chunk_bits = SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
+    )
+    return sh.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sh"), c * chunk_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "value"),
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -679,25 +704,7 @@ def simhash_candidate_pairs(
     chunk, so bucketing on (chunk_idx, chunk_value) finds all of them with
     zero cross-bucket comparisons.  Verification recomputes exact hamming.
     """
-    chunk_bits = SIMHASH_BITS // chunks
-    mask = (1 << chunk_bits) - 1
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh")
-    )
-    banded = sh.select(
-        "_id",
-        "_sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("_sh"), c * chunk_bits).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("chunk", "value"),
-    )
+    banded = _simhash_banded(df, id_col, text_col, chunks)
     ok = _bounded_buckets(
         banded, ["chunk", "value"], max_bucket_size,
         F.sort_array(F.collect_list(F.struct("_id", "_sh"))).alias("members"),
@@ -722,6 +729,104 @@ def simhash_candidate_pairs(
             ).alias("p")
         )
         .select("p.*")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, chunks: int = 4
+) -> DataFrame:
+    """``(id, simhash, chunk, value)`` banded rows — the persistable
+    SimHash dedup state, the pigeonhole-family twin of
+    :func:`minhash_signatures`.  ``chunks`` rows per document; the stored
+    ``simhash`` lets incremental verification recompute exact hamming
+    against old documents without touching their text."""
+    banded = _simhash_banded(df, id_col, text_col, chunks)
+    return banded.select(
+        F.col("_id").alias(id_col),
+        F.col("_sh").alias("simhash"),
+        "chunk",
+        "value",
+    )
+
+
+def incremental_simhash_pairs(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stored_signatures: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup pairs INTRODUCED by a new batch against a
+    :func:`simhash_signatures` store — same contract as
+    :func:`incremental_minhash_pairs`: signatures compute only for the
+    batch, the corpus-sized store is scanned once and semi-joined down to
+    batch-touched ``(chunk, value)`` buckets before anything shuffles,
+    bucket sizes gate over the union, every returned pair touches a new
+    document, and hamming is verified exactly from the stored signatures
+    (old texts are never re-read).  Batch ids must be disjoint from
+    stored ids; ``chunks`` must match the store.
+    """
+    new_banded = _simhash_banded(new_df, id_col, text_col, chunks).withColumn(
+        "_new", F.lit(True)
+    )
+    touched = new_banded.select("chunk", "value").distinct()
+    stored = (
+        stored_signatures.select(
+            F.col(id_col).alias("_id"),
+            F.col("simhash").alias("_sh"),
+            F.col("chunk"),
+            F.col("value"),
+        )
+        .join(touched, ["chunk", "value"], "left_semi")
+        .withColumn("_new", F.lit(False))
+    )
+    union = stored.unionByName(new_banded)
+    ok = _bounded_buckets(
+        union, ["chunk", "value"], max_bucket_size,
+        F.sort_array(
+            F.collect_list(F.struct("_id", "_sh", "_new"))
+        ).alias("members"),
+    )
+    pairs = (
+        ok.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("members") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda m: F.struct(
+                                F.get(F.col("members"), i.cast("int"))[
+                                    "_id"
+                                ].alias("id_a"),
+                                m["_id"].alias("id_b"),
+                                F.get(F.col("members"), i.cast("int"))[
+                                    "_sh"
+                                ].alias("sh_a"),
+                                m["_sh"].alias("sh_b"),
+                                F.get(F.col("members"), i.cast("int"))[
+                                    "_new"
+                                ].alias("new_a"),
+                                m["_new"].alias("new_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .filter(
+            (F.col("p.new_a") | F.col("p.new_b"))
+            & (F.col("p.id_a") != F.col("p.id_b"))
+        )
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     return pairs.select(

@@ -377,6 +377,50 @@ def test_incremental_minhash_union_sized_gate(spark):
     }
 
 
+def test_incremental_simhash_pairs_matches_from_scratch(spark, tmp_path):
+    """The SimHash twin of the incremental-minhash contract: batch vs
+    stored signatures equals a from-scratch merged run restricted to
+    batch-touching pairs, hamming verified from STORED signatures."""
+    from patito_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    old_rows = [
+        (i, f"stable corpus document {i} with plenty of filler words here")
+        for i in range(25)
+    ]
+    new_rows = [
+        (200, old_rows[7][1]),  # new-old exact near-dup
+        (201, old_rows[7][1] + " tail"),  # perturbed
+        (202, "totally different fresh content page"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    store_path = str(tmp_path / "sim_store")
+    simhash_signatures(old, "doc_id", "text").write.parquet(store_path)
+    inc = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in incremental_simhash_pairs(
+            new, "doc_id", "text", spark.read.parquet(store_path)
+        ).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    scratch = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_candidate_pairs(
+            old.unionByName(new), "doc_id", "text"
+        ).collect()
+    }
+    expected = {
+        p for p in scratch if p[0] in new_ids or p[1] in new_ids
+    }
+    assert inc == expected
+    assert (7, 200, 0) in inc
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+
+
 def test_oversized_bucket_never_aggregated(spark, docs):
     # 80 identical "boilerplate" docs form a bucket above max_bucket_size in
     # every band; 2 planted exact dups stay under it.  The pair stage must
