@@ -152,6 +152,116 @@ def prepare_training_corpus(
     return out
 
 
+def prepare_training_increment(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: Optional[str] = None,
+    fingerprint_store: Optional[DataFrame] = None,
+    signature_store: Optional[DataFrame] = None,
+    allowed_langs: Optional[Sequence[str]] = None,
+    min_chars: Optional[int] = None,
+    min_quality: Optional[float] = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 64,
+) -> tuple:
+    """Process ONE new crawl batch against persisted corpus dedup state —
+    the daily-increment companion of :func:`prepare_training_corpus`,
+    which is the from-scratch build.
+
+    1. language / length / quality filters (scan-side predicates, batch
+       only);
+    2. exact dedup within the batch, then against *fingerprint_store*
+       (:func:`~patito_spark.operators.dedup.incremental_exact_dedup` —
+       the store never shuffles);
+    3. near-dup resolution against *signature_store*
+       (:func:`~patito_spark.operators.dedup.incremental_minhash_pairs`):
+       a batch document colliding with a STORED document drops (the
+       corpus copy is already canonical); batch-internal collisions keep
+       one smallest-id survivor per cluster
+       (:func:`~patito_spark.operators.components.drop_near_duplicates`).
+
+    Returns ``(survivors, fingerprint_delta, signature_delta)`` — append
+    the deltas to the respective stores to advance the corpus snapshot
+    for the next batch.  Either store may be None (cold start: the batch
+    founds the corpus and both deltas seed the stores).
+    """
+    from ..functions.text import doc_fingerprint
+    from .components import drop_near_duplicates
+    from .dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    out = clean_corpus(
+        new_df,
+        id_col,
+        text_col,
+        lang_col=lang_col,
+        allowed_langs=allowed_langs,
+        min_chars=min_chars,
+        min_quality=min_quality,
+        dedup=False,
+    )
+    if fingerprint_store is not None:
+        out = incremental_exact_dedup(out, id_col, text_col, fingerprint_store)
+    else:
+        out = exact_dedup(out, id_col, text_col)
+    if signature_store is not None:
+        pairs = incremental_minhash_pairs(
+            out, id_col, text_col, signature_store,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size,
+        )
+        batch_ids = out.select(F.col(id_col).alias("_pt_bid")).distinct()
+        # a pair side NOT in the batch is a stored doc — its batch twin
+        # drops (semi/anti joins against the batch id set, which is
+        # batch-sized and broadcasts)
+        vs_store = (
+            pairs.select(F.col("id_a").alias("_pt_x"), F.col("id_b").alias("_pt_y"))
+            .unionByName(
+                pairs.select(
+                    F.col("id_b").alias("_pt_x"), F.col("id_a").alias("_pt_y")
+                )
+            )
+            .join(
+                batch_ids, F.col("_pt_y") == F.col("_pt_bid"), "left_anti"
+            )
+            .select(F.col("_pt_x").alias("_pt_drop"))
+            .distinct()
+        )
+        out = out.join(
+            vs_store, out[id_col] == F.col("_pt_drop"), "left_anti"
+        )
+        batch_pairs = (
+            pairs.join(
+                batch_ids, pairs["id_a"] == F.col("_pt_bid"), "left_semi"
+            ).join(
+                batch_ids, pairs["id_b"] == F.col("_pt_bid"), "left_semi"
+            )
+        )
+        out = drop_near_duplicates(out, id_col, batch_pairs)
+    else:
+        pairs = minhash_candidate_pairs(
+            out, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+        )
+        out = drop_near_duplicates(out, id_col, pairs)
+    fingerprint_delta = out.select(
+        doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    signature_delta = minhash_signatures(
+        out, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    return out, fingerprint_delta, signature_delta
+
+
 def clean_corpus_stats(cleaned: DataFrame, original: DataFrame) -> DataFrame:
     """One-row retention report for a cleaning run.
 

@@ -180,6 +180,59 @@ def test_clean_corpus_stages(spark):
     assert stats["retention"] == pytest.approx(round(2 / 6, 6))
 
 
+def test_prepare_training_increment_two_batches(spark, tmp_path):
+    """The daily-increment composition: batch 1 founds the corpus (cold
+    start), batch 2 dedups against the advanced stores — re-crawls drop
+    on fingerprints, near-dups of stored content drop on signatures,
+    batch-internal near-dup clusters keep one survivor, and genuinely new
+    content passes."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.pipeline import prepare_training_increment
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    b1 = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base + " extra", "en"),        # near-dup of 1 → one survives
+            (3, "completely other page body with distinct words", "en"),
+            (4, "short", "en"),                # fails min_chars
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kw = dict(
+        lang_col="lang", allowed_langs=["en"], min_chars=20,
+        num_hashes=16, bands=8,
+    )
+    s1, fp1, sig1 = prepare_training_increment(b1, "doc_id", "text", **kw)
+    kept1 = sorted(r["doc_id"] for r in s1.collect())
+    assert kept1 == [1, 3]
+    fp_path, sig_path = str(tmp_path / "fp"), str(tmp_path / "sig")
+    fp1.write.parquet(fp_path)
+    sig1.write.parquet(sig_path)
+    b2 = spark.createDataFrame(
+        [
+            (10, base, "en"),                  # exact re-crawl of stored 1
+            (11, base + " tailing words", "en"),  # near-dup of stored 1
+            (12, "fresh second-day content alpha beta gamma", "en"),
+            (13, "fresh second-day content alpha beta gamma", "en"),  # dup of 12
+            (14, "unrelated brand new page body entirely", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    s2, fp2, sig2 = prepare_training_increment(
+        b2, "doc_id", "text",
+        fingerprint_store=spark.read.parquet(fp_path),
+        signature_store=spark.read.parquet(sig_path),
+        **kw,
+    )
+    kept2 = sorted(r["doc_id"] for r in s2.collect())
+    assert kept2 == [12, 14]
+    # deltas describe exactly the survivors
+    assert fp2.count() == 2
+    assert sig2.select("doc_id").distinct().count() == 2
+
+
 def test_prepare_training_corpus_end_to_end(spark):
     """The one-call composition: filter → exact+near dedup → decontaminate
     → balance → pack, each stage observable in the output."""
