@@ -899,22 +899,15 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_duplicates(
+def _hyperplane_hashed(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    threshold: float = 0.95,
-    planes: int = 12,
-    dim: Optional[int] = None,
-    max_bucket_size: int = 256,
+    planes: int,
+    dim: Optional[int],
 ) -> DataFrame:
-    """Cosine near-duplicate pairs via random-hyperplane LSH.
-
-    ``planes`` deterministic pseudo-random hyperplanes (md5-seeded, so runs
-    and engines agree) produce a sign-bit bucket per vector; pairs are
-    verified with exact cosine inside buckets only.  Recall is tunable via
-    ``planes`` (fewer planes → bigger buckets → higher recall, more work).
-    """
+    """``(_id, _v, _b)`` rows: md5-seeded random-hyperplane sign-bit
+    bucket per vector (engine- and run-deterministic)."""
     if dim is None:
         first = df.select(F.size(vec_col)).first()
         dim = int(first[0]) if first else 0
@@ -937,7 +930,26 @@ def embedding_near_duplicates(
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0))
-    hashed = df.select(F.col(id_col).alias("_id"), vec.alias("_v"), bucket.alias("_b"))
+    return df.select(F.col(id_col).alias("_id"), vec.alias("_v"), bucket.alias("_b"))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 12,
+    dim: Optional[int] = None,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH.
+
+    ``planes`` deterministic pseudo-random hyperplanes (md5-seeded, so runs
+    and engines agree) produce a sign-bit bucket per vector; pairs are
+    verified with exact cosine inside buckets only.  Recall is tunable via
+    ``planes`` (fewer planes → bigger buckets → higher recall, more work).
+    """
+    hashed = _hyperplane_hashed(df, id_col, vec_col, planes, dim)
     ok = _bounded_buckets(
         hashed, ["_b"], max_bucket_size,
         F.sort_array(F.collect_list(F.struct("_id", "_v"))).alias("members"),
@@ -964,4 +976,109 @@ def embedding_near_duplicates(
         "id_a",
         "id_b",
         F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold).distinct()
+
+
+def embedding_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int = 12,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """``(id, bucket, embedding)`` rows — the persistable embedding-LSH
+    dedup state (the vector rides along so incremental verification can
+    compute exact cosine against old documents without re-reading the
+    corpus).  One row per document.  ``planes``/``dim`` must match
+    between the store build and every later incremental call (different
+    hyperplane families bucket incompatibly)."""
+    hashed = _hyperplane_hashed(df, id_col, vec_col, planes, dim)
+    return hashed.select(
+        F.col("_id").alias(id_col),
+        F.col("_b").alias("bucket"),
+        F.col("_v").alias("embedding"),
+    )
+
+
+def incremental_embedding_near_dups(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stored_signatures: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 12,
+    dim: Optional[int] = None,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Embedding cosine near-dup pairs INTRODUCED by a new batch against
+    an :func:`embedding_signatures` store — same contract as the MinHash
+    and SimHash incremental twins: hashing runs only over the batch, the
+    corpus-sized store is scanned once and semi-joined down to
+    batch-touched buckets before anything shuffles, bucket sizes gate
+    over the union, every returned pair touches a new document, and
+    cosine is verified exactly from the STORED vectors.  Batch ids must
+    be disjoint from stored ids.
+    """
+    if dim is None:
+        first = new_df.select(F.size(vec_col)).first()
+        dim = int(first[0]) if first else 0
+    new_hashed = _hyperplane_hashed(
+        new_df, id_col, vec_col, planes, dim
+    ).withColumn("_new", F.lit(True))
+    touched = new_hashed.select("_b").distinct()
+    stored = (
+        stored_signatures.select(
+            F.col(id_col).alias("_id"),
+            F.col("embedding").alias("_v"),
+            F.col("bucket").alias("_b"),
+        )
+        .join(touched, "_b", "left_semi")
+        .withColumn("_new", F.lit(False))
+    )
+    union = stored.unionByName(new_hashed.select("_id", "_v", "_b", "_new"))
+    ok = _bounded_buckets(
+        union, ["_b"], max_bucket_size,
+        F.sort_array(
+            F.collect_list(F.struct("_id", "_v", "_new"))
+        ).alias("members"),
+    )
+    pairs = (
+        ok.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("members") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 2, F.size("members")),
+                            lambda m: F.struct(
+                                F.get(F.col("members"), i.cast("int"))[
+                                    "_id"
+                                ].alias("id_a"),
+                                m["_id"].alias("id_b"),
+                                F.get(F.col("members"), i.cast("int"))[
+                                    "_v"
+                                ].alias("v_a"),
+                                m["_v"].alias("v_b"),
+                                F.get(F.col("members"), i.cast("int"))[
+                                    "_new"
+                                ].alias("new_a"),
+                                m["_new"].alias("new_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .filter(
+            (F.col("p.new_a") | F.col("p.new_b"))
+            & (F.col("p.id_a") != F.col("p.id_b"))
+        )
+        .select("p.id_a", "p.id_b", "p.v_a", "p.v_b")
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias(
+            "cosine"
+        ),
     ).filter(F.col("cosine") >= threshold).distinct()

@@ -340,6 +340,105 @@ def test_incremental_minhash_pairs_matches_from_scratch(spark, tmp_path):
     assert all(a in new_ids or b in new_ids for a, b in inc)
 
 
+def test_incremental_minhash_random_splits_match_from_scratch(spark):
+    """Seeded random corpora, random old/new splits: the incremental
+    result must equal the from-scratch merged run restricted to
+    batch-touching pairs, for every split (the single-planted-case test
+    above can't rule out split-dependent bugs).  Cap is generous so no
+    bucket crosses it — the regime where the equivalence is exact."""
+    import random
+
+    from patito_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    kw = dict(num_hashes=8, bands=4, shingle_n=2)
+    vocab = ["alpha", "beta", "gamma", "delta", "common", "words", "page"]
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(24):
+            if rows and rng.random() < 0.35:
+                text = rng.choice(rows)[1]  # duplicate an earlier doc
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9)))
+            rows.append((i, text))
+        ids = [r[0] for r in rows]
+        new_ids = set(rng.sample(ids, rng.randint(4, 10)))
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        old = corpus.filter(~F.col("doc_id").isin(*new_ids))
+        new = corpus.filter(F.col("doc_id").isin(*new_ids))
+        store = minhash_signatures(old, "doc_id", "text", **kw)
+        inc = {
+            (r["id_a"], r["id_b"])
+            for r in incremental_minhash_pairs(
+                new, "doc_id", "text", store, max_bucket_size=64, **kw
+            ).collect()
+        }
+        scratch = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(
+                corpus, "doc_id", "text", max_bucket_size=64, **kw
+            ).collect()
+        }
+        expected = {
+            p for p in scratch if p[0] in new_ids or p[1] in new_ids
+        }
+        assert inc == expected, f"seed {seed}"
+
+
+def test_incremental_embedding_near_dups_matches_from_scratch(spark, tmp_path):
+    """The embedding-LSH twin of the incremental contract: batch vs
+    stored (id, bucket, embedding) rows equals a from-scratch merged run
+    restricted to batch-touching pairs, cosine verified from STORED
+    vectors."""
+    from patito_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_signatures,
+        incremental_embedding_near_dups,
+    )
+
+    def vec(seed, dim=8):
+        import hashlib
+
+        return [
+            ((int.from_bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[:4], "big") % 2000) - 1000) / 1000.0
+            for i in range(dim)
+        ]
+
+    old_rows = [(i, vec(i)) for i in range(20)]
+    new_rows = [
+        (200, [x * 1.001 for x in vec(3)]),   # near-dup of stored 3
+        (201, vec("fresh-a")),
+        (202, [x * 0.999 for x in vec("fresh-a")]),  # new-new near-dup
+    ]
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    kw = dict(planes=6, dim=8)
+    store_path = str(tmp_path / "emb_store")
+    embedding_signatures(old, "vec_id", "embedding", **kw).write.parquet(store_path)
+    inc = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in incremental_embedding_near_dups(
+            new, "vec_id", "embedding", spark.read.parquet(store_path),
+            threshold=0.98, **kw,
+        ).collect()
+    }
+    new_ids = {r[0] for r in new_rows}
+    scratch = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_duplicates(
+            old.unionByName(new), "vec_id", "embedding", threshold=0.98, **kw
+        ).collect()
+    }
+    expected = {p for p in scratch if p[0] in new_ids or p[1] in new_ids}
+    assert inc == expected
+    assert {(a, b) for a, b, _ in inc} >= {(3, 200), (201, 202)}
+    assert all(a in new_ids or b in new_ids for a, b, _ in inc)
+
+
 def test_incremental_minhash_union_sized_gate(spark):
     """Bucket sizes are gated over store + batch: a bucket the NEW batch
     pushes past the cap stops producing pairs — including for its old
