@@ -84,32 +84,39 @@ def connected_components(
     SparkContext would land inside the current round subdir and be
     deleted when that round is superseded — do not run concurrent
     checkpoint users alongside a reliable-mode call.  On return the
-    previously-configured checkpoint dir is restored (Spark resolves a
-    configured dir to ``<dir>/<uuid>``; the uuid suffix is stripped so
-    repeated calls do not nest).  If NO checkpoint dir was configured
-    before the call, the session's checkpoint dir remains pointed at this
-    run's final-round subdir — reconfigure it before any later app-level
-    ``df.checkpoint()`` if you intend to delete *checkpoint_dir*.
+    prior checkpoint-dir state is restored EXACTLY — the resolved
+    ``<dir>/<uuid>`` Spark was using keeps being used (no re-resolution,
+    no nesting, no path guessing), and if no dir was configured before
+    the call the session returns to unset (a later bare
+    ``df.checkpoint()`` raises Spark's own not-configured error instead
+    of silently writing into this run's directory).
     """
     use_reliable = checkpoint_dir is not None
     if use_reliable:
-        import re
         import uuid
 
         spark = pairs.sparkSession
         sc = spark.sparkContext
-        prev_opt = sc._jsc.sc().getCheckpointDir()
-        prev_dir = prev_opt.get() if prev_opt.isDefined() else None
-        if prev_dir is not None:
-            # getCheckpointDir returns the uuid-RESOLVED path
-            # (<configured>/<uuid> — see setCheckpointDir); restore the
-            # CONFIGURED root, else every call nests one more uuid level
-            prev_dir = re.sub(
-                r"/[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
-                r"-[0-9a-f]{4}-[0-9a-f]{12}/?$",
-                "",
-                prev_dir,
-            )
+        # Snapshot the EXACT prior state (a Scala Option[String]) so the
+        # finally-block can put it back verbatim — including the
+        # None/unset case.  Regex-stripping a trailing uuid from the
+        # resolved path (the pre-r7 approach) could mangle a configured
+        # dir whose final segment legitimately looks like a uuid, and
+        # could not restore "unset" at all.  checkpointDir is
+        # private[spark] (public bytecode, py4j-reachable) and has been a
+        # stable var on SparkContext since 0.x; if a future Spark removes
+        # the setter we fall back to re-setting the resolved path (one
+        # extra uuid nesting level per call, still under the same root).
+        jsc = sc._jsc.sc()
+        prev_opt = jsc.getCheckpointDir()
+        _restore_setter = getattr(jsc, "checkpointDir_$eq", None)
+
+        def _restore_prev() -> None:
+            if _restore_setter is not None:
+                _restore_setter(prev_opt)
+            elif prev_opt.isDefined():
+                sc.setCheckpointDir(prev_opt.get())
+
         run_dir = f"{checkpoint_dir}/run-{uuid.uuid4().hex[:12]}"
 
         def _set_dir(name: str) -> None:
@@ -141,8 +148,8 @@ def connected_components(
             _delete_dir if use_reliable else None,
         )
     finally:
-        if use_reliable and prev_dir is not None:
-            sc.setCheckpointDir(prev_dir)
+        if use_reliable:
+            _restore_prev()
 
 
 def _propagate(

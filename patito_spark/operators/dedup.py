@@ -299,7 +299,7 @@ def minhash_pairs_with_audit(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
-    audit_max_bucket_size: int = None,
+    audit_max_bucket_size: Optional[int] = None,
 ) -> tuple:
     """Candidate pairs AND the per-band gate audit over ONE banded frame.
 
@@ -317,10 +317,11 @@ def minhash_pairs_with_audit(
     ``test_minhash_pairs_with_audit_single_scan``.
 
     Pair generation gates at ``max_bucket_size``; the audit accounts at
-    ``audit_max_bucket_size`` (defaults to the same cap — pass a tighter
-    one to stress the gate without changing the pair output).  Returns
-    ``(pairs, audit)`` — the same frames the standalone operators
-    produce.
+    ``audit_max_bucket_size`` (defaults to the same cap — pass a TIGHTER
+    one to stress the gate without changing the pair output; a looser
+    cap would count pair buckets the pair leg actually dropped, so it is
+    rejected with a ``ValueError``).  Returns ``(pairs, audit)`` — the
+    same frames the standalone operators produce.
 
     Sharing caveat (correctness is never affected): the reuse holds as
     long as the consumer keeps at least one SIZE-DERIVED audit column
@@ -334,6 +335,12 @@ def minhash_pairs_with_audit(
         max_bucket_size if audit_max_bucket_size is None
         else audit_max_bucket_size
     )
+    if audit_cap > max_bucket_size:
+        raise ValueError(
+            "audit_max_bucket_size must be <= max_bucket_size "
+            f"(got {audit_cap} > {max_bucket_size}): a looser audit cap "
+            "would report n_pair_buckets for buckets the pair leg dropped"
+        )
     banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
     w = Window.partitionBy("band", "bucket")
     sized = banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))

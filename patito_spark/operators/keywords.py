@@ -62,9 +62,15 @@ def keyword_tfidf(
     # pruning cannot narrow the shared (doc, term) aggregate, and its
     # exchange is reused instead of re-scanning the corpus text.  The
     # count value is identical to count(1): one per (doc, term) row.
+    # the id is cast to string inside the coalesce so the fence
+    # type-checks for any id type (see operators/lines.py — an int
+    # literal has no implicit common type with date/timestamp/binary)
     docfreq = tf.groupBy("_t").agg(
         F.count(
-            F.when(F.col("tf") >= 1, F.coalesce(F.col("_id"), F.lit(0)))
+            F.when(
+                F.col("tf") >= 1,
+                F.coalesce(F.col("_id").cast("string"), F.lit("")),
+            )
         ).alias("_df")
     )
     # the corpus document count N is folded into the PLAN as a broadcast

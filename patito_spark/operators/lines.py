@@ -182,12 +182,18 @@ def remove_duplicated_lines(
     _alive = F.size(F.col("_pt_idxs")) >= 0
     # count of (hash, doc) groups per hash == distinct docs per hash; the
     # coalesce keeps _pt_id referenced (same column set both branches)
-    # without changing the count (it is non-null either way)
+    # without changing the count (it is non-null either way).  The id is
+    # cast to STRING first so the coalesce type-checks for any id type —
+    # date/timestamp/binary ids have no implicit common type with an int
+    # literal and would fail analysis otherwise.
     dup = (
         grouped.groupBy("_pt_h")
         .agg(
             F.count(
-                F.when(_alive, F.coalesce(F.col("_pt_id"), F.lit(0)))
+                F.when(
+                    _alive,
+                    F.coalesce(F.col("_pt_id").cast("string"), F.lit("")),
+                )
             ).alias("_pt_n")
         )
         .filter(F.col("_pt_n") >= min_count)

@@ -18,29 +18,69 @@ one reducer.  Two mechanisms, in preference order:
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 DEFAULT_SALT = 16
 
 
-def with_salt(df: DataFrame, salt_buckets: int = DEFAULT_SALT) -> DataFrame:
+def _hashable(dt: DataType) -> bool:
+    """Spark's hash expressions reject MapType anywhere in the type tree
+    (map equality is undefined, so its hash is too)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def with_salt(
+    df: DataFrame,
+    salt_buckets: int = DEFAULT_SALT,
+    salt_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
     """Attach a deterministic-per-row salt column ``_salt`` in [0, S).
 
-    The salt is ``xxhash64`` over the FULL ROW CONTENT, so it depends only
-    on the data — never on partitioning, row order, or task retries (a
+    The salt is ``xxhash64`` over ROW CONTENT, so it depends only on the
+    data — never on partitioning, row order, or task retries (a
     ``monotonically_increasing_id``-based salt is stable only while
     upstream row order is; a retried stage after a shuffle can re-deal
-    it).  Residual: rows that are fully identical land in the same bucket,
-    so a table whose hot key consists of BYTE-IDENTICAL duplicate rows
-    does not spread — every real skew case (same key, differing payloads)
-    does.  Join correctness never depends on the salt value (the dim side
+    it).  *salt_cols* names the columns hashed; the default is every
+    hashable column.  At web scale prefer naming the join key plus a
+    cheap high-entropy column (url, id) — the default otherwise feeds
+    100-TB payload columns (html, text) through the hash to derive a
+    4-bit salt.  Map-typed columns are excluded automatically (Spark's
+    hash expressions reject MapType at analysis); naming one explicitly
+    raises.  Residual: rows IDENTICAL across the salted columns land in
+    the same bucket, so choose *salt_cols* that differ within the hot
+    key — join correctness never depends on the salt value (the dim side
     is replicated across all buckets).
     """
+    if salt_cols is None:
+        fields = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        if not fields:
+            raise ValueError(
+                "with_salt: no hashable columns (every column contains a "
+                "map type) — pass salt_cols naming hashable columns"
+            )
+    else:
+        fields = list(salt_cols)
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in fields if not _hashable(by_name[c])]
+        if bad:
+            raise ValueError(
+                f"with_salt: salt_cols {bad} contain map types, which "
+                "Spark's hash expressions reject — choose map-free columns"
+            )
     return df.withColumn(
         "_salt",
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
+            F.xxhash64(*[F.col(c) for c in fields]), F.lit(salt_buckets)
         ).cast("int"),
     )
 
@@ -58,15 +98,18 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt_buckets: int = DEFAULT_SALT,
+    salt_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Join a skewed fact table to a dim on ``on`` with explicit salting.
 
     The dim is replicated ``salt_buckets``× (only viable when dim ≪ fact —
     exactly the hot-domain case); each hot fact key now hashes to
-    ``salt_buckets`` distinct reducers.  Result columns match a plain join
-    (the salt is dropped).
+    ``salt_buckets`` distinct reducers.  *salt_cols* is forwarded to
+    :func:`with_salt` (name the key + a cheap per-row column to keep
+    payload bytes out of the salt hash).  Result columns match a plain
+    join (the salt is dropped).
     """
-    salted_fact = with_salt(fact, salt_buckets)
+    salted_fact = with_salt(fact, salt_buckets, salt_cols)
     salted_dim = replicate_for_salt(dim, salt_buckets)
     out = salted_fact.join(salted_dim, [on, "_salt"], how)
     return out.drop("_salt")

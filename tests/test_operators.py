@@ -180,6 +180,21 @@ def test_minhash_no_false_exact_misses(spark, docs):
     assert planted <= found
 
 
+def test_minhash_pairs_with_audit_rejects_looser_cap(spark):
+    """Only a TIGHTER audit cap is sanctioned: a looser one would count
+    pair buckets the pair leg actually dropped (ADVICE r6)."""
+    import pytest
+
+    from patito_spark.operators.dedup import minhash_pairs_with_audit
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="audit_max_bucket_size"):
+        minhash_pairs_with_audit(
+            docs, "doc_id", "text", max_bucket_size=4,
+            audit_max_bucket_size=8,
+        )
+
+
 def test_minhash_pairs_with_audit_single_scan(spark, tmp_path):
     """The composed pairs+audit operator matches the standalone operators
     exactly AND computes the signature stage once: one FileScan plus a
@@ -2079,9 +2094,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     subdirs = sorted(os.listdir(os.path.join(ckdir, runs[0])))
     rounds = [d for d in subdirs if d.startswith("round-")]
     assert "init" in subdirs and len(rounds) <= 2
-    # the application's previously-configured checkpoint dir is restored
-    # to the CONFIGURED root (uuid suffix stripped), so repeated calls do
-    # not nest one uuid level per call
+    # the application's checkpoint-dir state is restored EXACTLY: the
+    # resolved <root>/<uuid> path Spark was using before the call (no
+    # re-resolution, no nesting, no uuid-strip path guessing)
     restored = spark.sparkContext._jsc.sc().getCheckpointDir()
     assert restored.isDefined() and "app_checkpoints" in restored.get()
     first_restored = restored.get()
@@ -2104,10 +2119,29 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for f in files
     }
     assert before <= after, "second run deleted first run's checkpoints"
-    # restore is idempotent: no <uuid>/<uuid> nesting across calls
+    # restore is exact and idempotent: the SAME resolved path comes back
+    # after every call — no <uuid>/<uuid> nesting, ever
     restored2 = spark.sparkContext._jsc.sc().getCheckpointDir().get()
-    stripped = lambda p: p.rstrip("/").rsplit("/", 1)[0]  # noqa: E731
-    assert stripped(restored2) == stripped(first_restored)
+    assert restored2 == first_restored
+    # and a root whose final segment LOOKS like a uuid is not mangled
+    # (the pre-r7 regex strip would have restored the wrong root)
+    uuidish = str(tmp_path / "abcdef01-2345-6789-abcd-ef0123456789")
+    spark.sparkContext.setCheckpointDir(uuidish)
+    resolved_uuidish = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    connected_components(pairs, checkpoint_dir=ckdir).collect()
+    assert (
+        spark.sparkContext._jsc.sc().getCheckpointDir().get()
+        == resolved_uuidish
+    )
+    # when NO dir was configured before the call, the session returns to
+    # UNSET (a later bare df.checkpoint() raises Spark's own error
+    # instead of silently writing into this run's directory)
+    setter = getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")
+    empty = spark.sparkContext._jvm.scala.Option.empty()
+    setter(empty)
+    connected_components(pairs, checkpoint_dir=ckdir).collect()
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    spark.sparkContext.setCheckpointDir(prior)  # leave session sane
 
 
 def test_drop_near_duplicates_tolerates_reserved_column_names(spark):
@@ -2222,6 +2256,33 @@ def test_remove_duplicated_lines_boilerplate(spark):
     assert out[5]["text_clean"] == "only unique content here"
     assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 2)
     assert (out[3]["n_lines"], out[3]["n_removed"]) == (3, 1)
+
+
+def test_line_dedup_and_tfidf_accept_nonnumeric_ids(spark):
+    """The optimizer-fence coalesce casts the id to string, so ids with
+    no implicit common type with an int literal (timestamp, date,
+    binary) analyze fine (ADVICE r6: the r6 fence's coalesce(_id, 0)
+    failed analysis for them)."""
+    import datetime
+
+    from patito_spark.operators.keywords import keyword_tfidf
+    from patito_spark.operators.lines import remove_duplicated_lines
+
+    ts = datetime.datetime(2026, 1, 1)
+    docs = spark.createDataFrame(
+        [
+            (ts, "shared line\nalpha body"),
+            (ts + datetime.timedelta(days=1), "shared line\nbeta body"),
+        ],
+        "doc_id timestamp, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicated_lines(docs, "doc_id", "text").collect()
+    }
+    assert out[ts] == "alpha body"
+    kw = keyword_tfidf(docs, "doc_id", "text", k=1).collect()
+    assert len(kw) == 2 and all(r["rank"] == 1 for r in kw)
 
 
 def test_remove_duplicated_lines_semantics(spark):

@@ -71,6 +71,54 @@ def test_salt_is_content_deterministic(spark, skewed):
     assert reshuffled == base
 
 
+def test_salt_cols_spreads_hot_key_and_join_is_identical(spark, skewed):
+    """Restricting the salt input to (key, row_id) spreads the hot key
+    over every bucket exactly like the full-row default, and the salted
+    join's RESULT is identical either way (the salt never affects join
+    output, only reducer placement)."""
+    salted = with_salt(skewed, salt_buckets=8, salt_cols=["domain", "row_id"])
+    spread = (
+        salted.filter(F.col("domain") == "hot.example.com")
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8
+    dim = spark.createDataFrame(
+        [("hot.example.com", 1), ("site1.org", 2)], "domain string, dim_val int"
+    )
+    full = salted_join(skewed, dim, "domain").orderBy("row_id").collect()
+    restricted = (
+        salted_join(skewed, dim, "domain", salt_cols=["domain", "row_id"])
+        .orderBy("row_id")
+        .collect()
+    )
+    assert restricted == full
+
+
+def test_salt_skips_map_columns(spark):
+    """Default salting excludes map-typed columns (Spark's hash
+    expressions reject MapType at analysis — ADVICE r6); naming one in
+    salt_cols raises a clear error instead of an AnalysisException."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})],
+        "row_id long, attrs map<string,int>",
+    )
+    out = with_salt(df, salt_buckets=4).collect()  # analyzes fine
+    assert {r["row_id"] for r in out} == {1, 2}
+    with pytest.raises(ValueError, match="map types"):
+        with_salt(df, salt_buckets=4, salt_cols=["attrs"])
+    # a map nested inside a struct is excluded too
+    nested = spark.createDataFrame(
+        [(1, (1, {"a": 1}))],
+        "row_id long, s struct<x:int, m:map<string,int>>",
+    )
+    assert with_salt(nested, salt_buckets=4).count() == 1
+    all_maps = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
+    with pytest.raises(ValueError, match="no hashable columns"):
+        with_salt(all_maps)
+
+
 def test_left_salted_join_keeps_unmatched(spark, skewed):
     dim = spark.createDataFrame([("hot.example.com", 1)], "domain string, v int")
     out = salted_join(skewed, dim, "domain", how="left")
