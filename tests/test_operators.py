@@ -535,6 +535,58 @@ def test_incremental_simhash_pairs_matches_from_scratch(spark, tmp_path):
     assert all(a in new_ids or b in new_ids for a, b, _ in inc)
 
 
+def test_incremental_store_family_mismatch_raises(spark):
+    """A signature store fed to an incremental call with DIFFERENT family
+    parameters must raise loudly — mismatched families bucket
+    incompatibly, which is a silent wrong answer otherwise (VERDICT r6
+    item 1).  All three families; legacy tag-less stores still pass."""
+    import pytest
+
+    from patito_spark.operators.dedup import (
+        embedding_signatures,
+        incremental_embedding_near_dups,
+        incremental_minhash_pairs,
+        incremental_simhash_pairs,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} filler words") for i in range(6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "fresh batch document body")], "doc_id long, text string"
+    )
+    mh_store = minhash_signatures(docs, "doc_id", "text", num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="num_hashes=8"):
+        incremental_minhash_pairs(
+            batch, "doc_id", "text", mh_store, num_hashes=16, bands=4
+        ).collect()
+    sh_store = simhash_signatures(docs, "doc_id", "text", chunks=4)
+    with pytest.raises(ValueError, match="chunks=4"):
+        incremental_simhash_pairs(
+            batch, "doc_id", "text", sh_store, chunks=8
+        ).collect()
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -0.25]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    vbatch = spark.createDataFrame(
+        [(100, [0.1, 0.2, 0.3, 0.4])], "vec_id long, embedding array<double>"
+    )
+    emb_store = embedding_signatures(vecs, "vec_id", "embedding", planes=6)
+    with pytest.raises(ValueError, match="planes=6"):
+        incremental_embedding_near_dups(
+            vbatch, "vec_id", "embedding", emb_store, planes=12
+        ).collect()
+    # legacy tag-less store: accepted as-is (caller obligation)
+    legacy = mh_store.drop("family")
+    incremental_minhash_pairs(
+        batch, "doc_id", "text", legacy, num_hashes=16, bands=4
+    ).collect()
+
+
 def test_oversized_bucket_never_aggregated(spark, docs):
     # 80 identical "boilerplate" docs form a bucket above max_bucket_size in
     # every band; 2 planted exact dups stay under it.  The pair stage must
