@@ -171,6 +171,51 @@ def _check_store_family(
     return store.drop(FAMILY_COL)
 
 
+def replace_in_store(
+    store: DataFrame,
+    id_col: str,
+    recrawled: DataFrame,
+    recrawled_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Drop an id-keyed signature store's rows for re-crawled documents,
+    so the incoming batch's fresh signatures can take their place.
+
+    Every ``incremental_*`` consumer requires batch ids disjoint from
+    stored ids.  A re-crawled document violates it: its fresh signatures
+    meet its OWN old rows (the defensive ``id_a != id_b`` filter stops
+    the self-pair, but the old rows still inflate bucket sizes toward
+    the cap), and a naive ``store.union(delta)`` advance then keeps BOTH
+    row-sets — the defunct old text keeps matching future batches
+    forever.  Run this on the store before the incremental call, and
+    advance the durable snapshot the same way::
+
+        store = replace_in_store(store, id_col, batch)
+        pairs = incremental_minhash_pairs(batch, id_col, text_col, store, ...)
+        ...
+        new_store = store.unionByName(delta)   # exactly one row-set per id
+
+    *recrawled* may be the raw batch frame (only its id column is used;
+    pass ``recrawled_id_col`` if it is named differently from the
+    store's).  Ids in *recrawled* absent from the store are a no-op, so
+    passing the whole batch is always safe.
+
+    Scale shape: the batch-sized id set broadcasts (AQE), the store is
+    scanned once with a broadcast anti probe and NEVER shuffled; the
+    ``family`` tag column rides through untouched.  Works on any
+    id-keyed store (minhash / simhash / embedding signatures) — NOT on
+    the one-column exact-dedup fingerprint store, which carries no ids:
+    a replaced document's old fingerprint stays behind as a conservative
+    tombstone (text identical to a removed crawl is still treated as
+    already-present), which over-drops but never corrupts.
+    """
+    ids = recrawled.select(
+        F.col(recrawled_id_col or id_col).alias("_pt_rid")
+    ).distinct()
+    return store.join(
+        ids, F.col(id_col) == F.col("_pt_rid"), "left_anti"
+    )
+
+
 def _materialize(df: DataFrame, **cols: Column) -> DataFrame:
     """Force each expression to be computed exactly once per row.
 

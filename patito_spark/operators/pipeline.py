@@ -67,6 +67,7 @@ def prepare_training_corpus(
     lang_fractions: Optional[dict] = None,
     pack_budget: Optional[int] = None,
     line_dedup_min_count: Optional[int] = None,
+    near_dup_kwargs: Optional[dict] = None,
 ) -> DataFrame:
     """The full training-data build, end to end:
 
@@ -93,7 +94,11 @@ def prepare_training_corpus(
     Each stage is the standalone operator documented in COVERAGE.md; this
     function is the composition a user runs when they want "the corpus,
     ready to train on" in one call.  Returns the surviving rows (with the
-    packing columns when requested).
+    packing columns when requested).  *near_dup_kwargs* passes the LSH
+    family through to the pair stage (``num_hashes``/``bands``/
+    ``shingle_n``/``max_bucket_size``) — set it to the increment
+    pipeline's family when comparing a from-scratch build against
+    :func:`prepare_training_increment` snapshots.
     """
     from .components import drop_near_duplicates
     from .dedup import minhash_dedup_pairs
@@ -119,7 +124,8 @@ def prepare_training_corpus(
         min_quality=min_quality,
     )
     pairs = minhash_dedup_pairs(
-        out, id_col, text_col, threshold=near_dup_threshold
+        out, id_col, text_col, threshold=near_dup_threshold,
+        **(near_dup_kwargs or {}),
     )
     out = drop_near_duplicates(out, id_col, pairs)
     if eval_df is not None:
@@ -166,6 +172,7 @@ def prepare_training_increment(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 64,
+    replace_recrawled: bool = False,
 ) -> tuple:
     """Process ONE new crawl batch against persisted corpus dedup state —
     the daily-increment companion of :func:`prepare_training_corpus`,
@@ -187,6 +194,26 @@ def prepare_training_increment(
     the deltas to the respective stores to advance the corpus snapshot
     for the next batch.  Either store may be None (cold start: the batch
     founds the corpus and both deltas seed the stores).
+
+    *replace_recrawled=True* lifts the batch-ids-disjoint-from-store
+    contract: before near-dup scoring the signature store is passed
+    through :func:`~patito_spark.operators.dedup.replace_in_store` with
+    the ids that survived the exact gate, so a re-crawled document with
+    UPDATED text is scored against the rest of the corpus instead of
+    meeting its own old signature rows (which inflate bucket sizes
+    toward the cap, and under a naive store advance leave defunct old
+    text matching future batches forever).  A re-crawl whose text is
+    unchanged still drops at the exact gate and its store rows stay —
+    the corpus copy remains canonical and keeps participating in
+    detection.  Advance the snapshot by stripping only the FINAL
+    survivors' ids (the delta carries exactly those)::
+
+        store = replace_in_store(store, id_col, sig_delta)
+        store = store.unionByName(sig_delta)
+
+    leaving exactly one row-set per re-crawled id.  (The one-column
+    fingerprint store has no ids to replace — a replaced document's old
+    fingerprint stays behind as a conservative tombstone.)
     """
     from ..functions.text import doc_fingerprint
     from .components import drop_near_duplicates
@@ -196,6 +223,7 @@ def prepare_training_increment(
         incremental_minhash_pairs,
         minhash_candidate_pairs,
         minhash_signatures,
+        replace_in_store,
     )
 
     out = clean_corpus(
@@ -213,6 +241,12 @@ def prepare_training_increment(
     else:
         out = exact_dedup(out, id_col, text_col)
     if signature_store is not None:
+        if replace_recrawled:
+            # strip only ids that PASSED the exact gate (changed text): an
+            # unchanged re-crawl was just dropped as already-present, so
+            # its store rows stay — the corpus copy remains canonical and
+            # keeps participating in near-dup detection
+            signature_store = replace_in_store(signature_store, id_col, out)
         pairs = incremental_minhash_pairs(
             out, id_col, text_col, signature_store,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
