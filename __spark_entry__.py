@@ -2642,16 +2642,27 @@ FROM ({SQL_SESSION_WINDOW_STATS})
 
 
 def q_minhash_all(spark, sf_dir):
-    """MinHash LSH candidate pairs AND the bounded-bucket audit in one
-    tagged union: kind='pair' rows carry (k1=id_a, k2=id_b); kind='audit'
-    rows carry (k1=band, k2=n_buckets, k3=n_pair_buckets, k4=n_oversized).
-    Pair generation runs at the production cap (64); the audit runs at
-    cap=2 so the oversized-drop gate provably fires at oracle SF.  Since
-    r6 both legs hang off ONE banded frame
-    (``minhash_pairs_with_audit``): the signature stage — the per-row hot
-    loop — computes once and the text scans once (ReusedExchange), where
-    the previous two-function composition ran it twice."""
-    from patito_spark.operators.dedup import minhash_pairs_with_audit
+    """MinHash LSH candidate pairs, the bounded-bucket audit, AND the
+    incremental daily-crawl path in one tagged union: kind='pair' rows
+    carry (k1=id_a, k2=id_b); kind='audit' rows carry (k1=band,
+    k2=n_buckets, k3=n_pair_buckets, k4=n_oversized); kind='incr' rows
+    carry (k1=id_a, k2=id_b) from ``incremental_minhash_pairs`` scoring a
+    batch (doc_id % 4 == 0) against a ``minhash_signatures`` store built
+    from the rest of the corpus.  Pair generation runs at the production
+    cap (64); the audit runs at cap=2 so the oversized-drop gate provably
+    fires at oracle SF.  The pair+audit legs hang off ONE banded frame
+    (``minhash_pairs_with_audit``, ReusedExchange); the incr leg
+    necessarily recomputes signatures over its store/batch split — it
+    exercises the real store-consuming operator (family-tag validation
+    included), not a filter of the pair leg.  Oracle: the incremental
+    contract (tests: incremental == from-scratch over the union
+    restricted to batch-touching pairs) makes the SQL twin the full pair
+    query filtered to ≥1 batch-side id."""
+    from patito_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_pairs_with_audit,
+        minhash_signatures,
+    )
 
     docs = (
         _t(spark, sf_dir, "documents")
@@ -2676,10 +2687,27 @@ def q_minhash_all(spark, sf_dir):
         F.col("n_pair_buckets").cast("long").alias("k3"),
         F.col("n_oversized").cast("long").alias("k4"),
     )
-    return pairs.unionByName(audit)
+    store = minhash_signatures(
+        docs.filter(F.col("doc_id") % 4 != 0), "doc_id", "text_norm",
+        num_hashes=8, bands=4, shingle_n=3,
+    )
+    incr = incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 4 == 0), "doc_id", "text_norm",
+        store, num_hashes=8, bands=4, shingle_n=3, max_bucket_size=64,
+    ).select(
+        F.lit("incr").alias("kind"),
+        F.col("id_a").cast("long").alias("k1"),
+        F.col("id_b").cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("k3"),
+        F.lit(None).cast("long").alias("k4"),
+    )
+    return pairs.unionByName(audit).unionByName(incr)
 
 
 def _sql_minhash_all() -> str:
+    # the 'incr' twin leans on the tested incremental contract:
+    # incremental_minhash_pairs == from-scratch pairs over the union
+    # restricted to pairs touching the batch (doc_id % 4 == 0)
     return f"""
 SELECT 'pair' AS kind, id_a::BIGINT AS k1, id_b::BIGINT AS k2,
        NULL::BIGINT AS k3, NULL::BIGINT AS k4
@@ -2688,6 +2716,10 @@ UNION ALL
 SELECT 'audit', band::BIGINT, n_buckets::BIGINT, n_pair_buckets::BIGINT,
        n_oversized::BIGINT
 FROM ({_sql_minhash_bucket_audit()})
+UNION ALL
+SELECT 'incr', id_a::BIGINT, id_b::BIGINT, NULL::BIGINT, NULL::BIGINT
+FROM ({_sql_minhash_pairs()})
+WHERE id_a % 4 = 0 OR id_b % 4 = 0
 """
 
 

@@ -535,6 +535,39 @@ def test_incremental_simhash_pairs_matches_from_scratch(spark, tmp_path):
     assert all(a in new_ids or b in new_ids for a, b, _ in inc)
 
 
+def test_incremental_minhash_store_never_shuffles(spark, tmp_path):
+    """At batch scale the corpus-sized signature store is reduced to
+    batch-touched buckets via a BROADCAST semi join (AQE) — never sort-
+    merge-joined or shuffled corpus-wide.  The 'incr' driver leg and the
+    daily-crawl pipeline both rely on this shape."""
+    from patito_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"stable corpus document {i} filler body words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=8, bands=4, shingle_n=3)
+    store_path = str(tmp_path / "sig_store")
+    minhash_signatures(old, "doc_id", "text", **kw).write.parquet(store_path)
+    new = spark.createDataFrame(
+        [(100, "fresh batch page body alpha"), (101, old.collect()[3]["text"])],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_pairs(
+        new, "doc_id", "text", spark.read.parquet(store_path), **kw
+    )
+    out.collect()  # final AQE plan requires an action on the SAME Dataset
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final
+
+
 def test_incremental_store_family_mismatch_raises(spark):
     """A signature store fed to an incremental call with DIFFERENT family
     parameters must raise loudly — mismatched families bucket

@@ -66,8 +66,13 @@ EXCHANGE_BUDGET = {
     # the (band,bucket) window exchange appears in both legs statically
     # (2, ReusedExchange collapses them at runtime — the signature stage
     # and text scan run once), + the audit's per-band agg, the pair
-    # explode's distinct, and union packaging
-    "minhash_all": 6,
+    # explode's distinct, and union packaging.  r7 adds the 'incr' leg —
+    # the real incremental_minhash_pairs over a store/batch split of the
+    # corpus (touched-bucket distinct + store semi join + union gate's
+    # bucket window + pair distinct); its own plan shape (no SMJ, store
+    # never shuffled at batch scale) is asserted in
+    # test_incremental_minhash_store_never_shuffles
+    "minhash_all": 13,
     "simhash_values": 1,
     "simhash_pairs": 3,
     # iterative min-label propagation: lineage is cut per round
