@@ -896,7 +896,8 @@ def incremental_simhash_pairs(
     bucket sizes gate over the union, every returned pair touches a new
     document, and hamming is verified exactly from the stored signatures
     (old texts are never re-read).  Batch ids must be disjoint from
-    stored ids; ``chunks`` must match the store — the store's persisted
+    stored ids (see :func:`replace_in_store` for re-crawls); ``chunks``
+    must match the store — the store's persisted
     ``family`` tag is asserted before joining (mismatch raises; legacy
     tag-less stores are accepted).
     """
@@ -1156,7 +1157,8 @@ def incremental_embedding_near_dups(
     batch-touched buckets before anything shuffles, bucket sizes gate
     over the union, every returned pair touches a new document, and
     cosine is verified exactly from the STORED vectors.  Batch ids must
-    be disjoint from stored ids.  ``planes``/``dim`` are asserted
+    be disjoint from stored ids (see :func:`replace_in_store` for
+    re-crawls).  ``planes``/``dim`` are asserted
     against the store's persisted ``family`` tag before joining
     (mismatch raises; legacy tag-less stores are accepted).
     """
