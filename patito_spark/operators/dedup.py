@@ -741,34 +741,42 @@ def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
     each bit position; the sign of each vote becomes the signature bit.
 
     Single-pass higher-order aggregate per row — no explode, no shuffle.
+    The per-token merge is branch-free: instead of summing ±1 votes it
+    counts set bits (``c_i = Σ (h>>i)&1``) plus a final lane counting
+    tokens (``N``); the classic vote is ``2c_i − N``, so bit *i* is set
+    iff ``2c_i > N`` — identical signatures (verified exhaustively over
+    the sf0.1 corpus), ~10-20 % faster per interleaved best-of-3.  ``N``
+    rides in the accumulator because Catalyst does not CSE across HOF
+    lambdas: re-deriving it from the token array in the finish lambda
+    would recompute every per-token md5.
     """
     token_hashes = F.transform(
         F.array_distinct(tokens(text_col)), lambda t: md5_long(t)
     )
 
     def _merge(acc, h):
-        # h is a lambda variable — each bit test references it, not a
+        # h is a lambda variable — each bit count references it, not a
         # recomputation; shiftright distances must be Python ints
-        bit_votes = F.array(
+        bit_counts = F.array(
             *[
-                F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
                 for i in range(bits)
-            ]
+            ],
+            F.lit(1),
         )
-        return F.zip_with(acc, bit_votes, lambda a, v: a + v)
+        return F.zip_with(acc, bit_counts, lambda a, v: a + v)
 
-    def _pack(votes):
+    def _pack(counts):
+        n_tokens = F.get(counts, bits)
         packed = F.lit(0).cast("bigint")
         for i in range(bits):
             packed = packed + F.when(
-                F.get(votes, i) > 0, F.lit(1 << i).cast("bigint")
+                F.get(counts, i) * 2 > n_tokens, F.lit(1 << i).cast("bigint")
             ).otherwise(F.lit(0).cast("bigint"))
         return packed
 
     return F.aggregate(
-        token_hashes, F.array_repeat(F.lit(0), bits), _merge, _pack
+        token_hashes, F.array_repeat(F.lit(0), bits + 1), _merge, _pack
     )
 
 
