@@ -40,9 +40,14 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Unicode word tokens (letters/digits/apostrophes)."""
-    return F.filter(
-        F.split(F.lower(col), _TOKEN_PATTERN), lambda t: t != ""
+    """Unicode word tokens (letters/digits/apostrophes).
+
+    ``regexp_extract_all`` on the positive class instead of
+    ``split`` + ``filter`` on the negated one: identical token arrays
+    (verified across the sf0.1 corpus) with one regex pass and no
+    empty-string cleanup HOF."""
+    return F.regexp_extract_all(
+        F.lower(col), F.lit(r"[\p{L}\p{N}']+"), 0
     )
 
 
