@@ -453,3 +453,143 @@ def test_dedup_stream_watermark_bounded_state(spark, tmp_path):
     kept = spark.read.parquet(sink)
     assert kept.count() == 3
     assert sorted(r["id"] for r in kept.collect())[:2] == [1, 3]
+
+
+def test_crawl_ingest_stream_two_batches_match_batch_increments(spark, tmp_path):
+    """The streaming front-end must produce exactly what two
+    prepare_training_increment calls produce: batch-2 documents that
+    exactly- or near-duplicate batch-1 survivors drop against the
+    advanced stores; a restart between feeds resumes from the
+    checkpoint without reprocessing batch 1."""
+    from patito_spark.streaming import crawl_ingest_stream, read_ingested_corpus
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "stores")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = crawl_ingest_stream(
+            stream, "doc_id", "text", root, ckpt,
+            lang_col="lang", allowed_langs=["en"], min_chars=20,
+            num_hashes=8, bands=4, shingle_n=3,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed([
+        (1, "first unique page body with plenty of words here", "en"),
+        (2, "first unique page body with plenty of words here", "en"),  # exact dup
+        (3, "second unique page body other words entirely now", "en"),
+        (4, "page francaise a supprimer du corpus entier ici", "fr"),  # lang
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 3]
+
+    feed([
+        (10, "first unique page body with plenty of words here", "en"),  # exact re-crawl
+        (11, "second unique page body other words entirely today", "en"),  # near-dup of 3
+        (12, "genuinely fresh third day content alpha beta gamma", "en"),
+    ])
+    run()  # fresh query object, same checkpoint: resumes at batch 1
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 3, 12]
+
+
+def test_crawl_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may replay a batch id after a crash: re-running the
+    processor for the same id must overwrite, not double-append, and must
+    read the same store snapshot (dirs strictly below the batch id) even
+    though its own delta dirs already exist."""
+    from patito_spark.streaming.ingest import (
+        _make_batch_processor,
+        _read_store,
+        read_ingested_corpus,
+    )
+
+    root = str(tmp_path / "stores")
+    schema = "doc_id long, text string, lang string"
+    proc = _make_batch_processor(
+        root, "doc_id", "text",
+        dict(num_hashes=8, bands=4, shingle_n=3),
+    )
+    b0 = spark.createDataFrame(
+        [(1, "first unique page body with plenty of words here", "en"),
+         (2, "second unique page body other words entirely now", "en")],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [(10, "second unique page body other words entirely today", "en"),  # near-dup of 2
+         (11, "genuinely fresh third day content alpha beta gamma", "en")],
+        schema,
+    )
+    proc(b0, 0)
+    proc(b1, 1)
+    once = {
+        (r["doc_id"],)
+        for r in read_ingested_corpus(spark, root).collect()
+    }
+    fp_once = _read_store(spark, f"{root}/fingerprints", None).count()
+    sig_once = _read_store(spark, f"{root}/signatures", None).count()
+    proc(b1, 1)  # replay
+    assert {
+        (r["doc_id"],)
+        for r in read_ingested_corpus(spark, root).collect()
+    } == once == {(1,), (2,), (11,)}
+    assert _read_store(spark, f"{root}/fingerprints", None).count() == fp_once
+    assert _read_store(spark, f"{root}/signatures", None).count() == sig_once
+
+
+def test_crawl_ingest_compact_stores(spark, tmp_path):
+    """Compaction folds per-batch dirs into one base; the restarted
+    stream keeps deduping against the compacted state."""
+    import os
+
+    from patito_spark.streaming import compact_stores, read_ingested_corpus
+    from patito_spark.streaming.ingest import _make_batch_processor
+
+    root = str(tmp_path / "stores")
+    schema = "doc_id long, text string, lang string"
+    proc = _make_batch_processor(
+        root, "doc_id", "text", dict(num_hashes=8, bands=4, shingle_n=3)
+    )
+    proc(
+        spark.createDataFrame(
+            [(1, "first unique page body with plenty of words here", "en")],
+            schema,
+        ),
+        0,
+    )
+    proc(
+        spark.createDataFrame(
+            [(2, "second unique page body other words entirely now", "en")],
+            schema,
+        ),
+        1,
+    )
+    folded = compact_stores(spark, root)
+    assert folded == {"fingerprints": 2, "signatures": 2, "survivors": 2}
+    assert os.listdir(f"{root}/signatures") == ["compacted-1"]
+    # batch 2 still sees both stored docs: its near-dup of doc 2 drops
+    proc(
+        spark.createDataFrame(
+            [(10, "second unique page body other words entirely today", "en"),
+             (11, "genuinely fresh third day content alpha beta gamma", "en")],
+            schema,
+        ),
+        2,
+    )
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 2, 11]
