@@ -64,16 +64,39 @@ def topk_brute_force(
     on the (small) |corpus|×|probes| similarity rows after a probe-key
     repartition.  Ties broken by neighbor id for full determinism.
     """
+    from ..functions.vectors import dot_product, l2_norm
+
+    # Materialize each norm ONCE per vector BELOW the crossJoin (same
+    # rationale as topk_quantized): an inline cosine_similarity re-runs
+    # both l2 aggregates per (probe, corpus) PAIR — and twice each, since
+    # the `when` guard and the division don't CSE across HOF lambdas.
+    # Identical doubles: same aggregates over the same values, only
+    # evaluated once per row instead of once per pair.
     p = F.broadcast(
-        probes.select(
-            F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("_pvec")
+        _materialize(
+            probes.select(
+                F.col(probe_id_col).alias("probe_id"),
+                F.col(vec_col).alias("_pvec"),
+            ),
+            _pnorm=l2_norm(F.col("_pvec")),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    c = _materialize(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        ),
+        _cnorm=l2_norm(F.col("_cvec")),
+    )
+    denom = F.col("_cnorm") * F.col("_pnorm")
     sims = c.crossJoin(p).select(
         "probe_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("_cvec"), F.col("_pvec")), 6).alias("cosine"),
+        F.round(
+            F.when(
+                denom > 0, dot_product(F.col("_cvec"), F.col("_pvec")) / denom
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -262,17 +285,35 @@ def ivf_topk(
         top = np.argsort(-(cm @ v))[:nprobe]
         for cid in top:
             assignments.append((r[0], int(cid), [float(x) for x in r[1]]))
+    from ..functions.vectors import dot_product, l2_norm
+
     spark = indexed.sparkSession
+    # norms materialized once per row BELOW the join (same rationale as
+    # topk_brute_force / topk_quantized; bit-identical doubles — the same
+    # sequential aggregate, evaluated per vector instead of per pair, so
+    # the probe norm comes from Spark too, not numpy with its pairwise
+    # summation order)
     probe_buckets = F.broadcast(
-        spark.createDataFrame(
-            assignments, f"probe_id long, _centroid int, _pvec array<double>"
+        _materialize(
+            spark.createDataFrame(
+                assignments, f"probe_id long, _centroid int, _pvec array<double>"
+            ),
+            _pnorm=l2_norm(F.col("_pvec")),
         )
     )
-    joined = indexed.join(probe_buckets, "_centroid").select(
+    cand = _materialize(
+        indexed.withColumn("_cvec", F.col(vec_col).cast("array<double>")),
+        _cnorm=l2_norm(F.col("_cvec")),
+    )
+    denom = F.col("_cnorm") * F.col("_pnorm")
+    joined = cand.join(probe_buckets, "_centroid").select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_pvec")), 6
+            F.when(
+                denom > 0, dot_product(F.col("_cvec"), F.col("_pvec")) / denom
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(
