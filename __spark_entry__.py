@@ -363,9 +363,14 @@ FROM t
 
 def q_lang_id(spark, sf_dir):
     from patito_spark.functions.text import language_id
+    from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    return staged.select(
+        "doc_id",
+        language_id(F.col("text"), toks=F.col("_toks")).alias("lang_guess"),
+    )
 
 
 def _sql_lang_id() -> str:
@@ -397,9 +402,13 @@ FROM h
 
 def q_quality_scores(spark, sf_dir):
     from patito_spark.functions.text import quality_score
+    from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    return staged.select(
+        "doc_id", quality_score(F.col("text"), toks=F.col("_toks")).alias("q")
+    )
 
 
 SQL_QUALITY_SCORES = """
@@ -430,11 +439,22 @@ FROM m
 
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate-trigram fraction per document."""
-    from patito_spark.functions.text import repetition_fraction
+    from patito_spark.functions.text import (
+        repetition_fraction,
+        word_shingles_from_tokens,
+    )
+    from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", repetition_fraction(F.col("text"), n=3).alias("rep")
+    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    staged = _materialize(
+        staged, _sh=word_shingles_from_tokens(F.col("_toks"), 3)
+    )
+    return staged.select(
+        "doc_id",
+        repetition_fraction(F.col("text"), n=3, shingles=F.col("_sh")).alias(
+            "rep"
+        ),
     )
 
 
@@ -2412,21 +2432,31 @@ def q_text_metrics(spark, sf_dir):
         pii_counts,
         quality_score,
         repetition_fraction,
+        word_shingles_from_tokens,
     )
+    from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # ONE tokenizer pass (and one shingle build) feeds all five metric
+    # families — inline, language_id alone re-tokenizes per candidate and
+    # the panel totalled ~10 tokenizer evaluations per row (no CSE under
+    # HOF lambdas)
+    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    staged = _materialize(
+        staged, _sh=word_shingles_from_tokens(F.col("_toks"), 3)
+    )
+    toks = F.col("_toks")
     subword = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.ceil(F.char_length(t) / 4).cast("int")
     )
     counts = pii_counts(F.col("text"))
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         subword.cast("long").alias("n_subwords"),
-        language_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("q"),
-        repetition_fraction(F.col("text"), n=3).alias("rep"),
+        language_id(F.col("text"), toks=toks).alias("lang_guess"),
+        quality_score(F.col("text"), toks=toks).alias("q"),
+        repetition_fraction(F.col("text"), n=3, shingles=F.col("_sh")).alias("rep"),
         *[c.cast("long").alias(k) for k, c in counts.items()],
     )
 

@@ -13,6 +13,8 @@ fingerprinting.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -98,7 +100,11 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
-def language_id(col: Column, candidates: list[str] = ("en", "de", "fr", "es")) -> Column:
+def language_id(
+    col: Column,
+    candidates: list[str] = ("en", "de", "fr", "es"),
+    toks: Optional[Column] = None,
+) -> Column:
     """Heuristic language ID: the candidate with the most stopword-marker
     hits in the text; ``und`` (undetermined) when nothing matches.
 
@@ -106,8 +112,13 @@ def language_id(col: Column, candidates: list[str] = ("en", "de", "fr", "es")) -
     no shuffle, no UDF.  (A production system would plug a real model in via
     ``operators.multimodal``-style mapInPandas; this is the cheap first-pass
     filter a 100 TB pipeline runs on every document.)
+
+    *toks* — optional pre-materialized token array; the marker scan reads
+    it once PER CANDIDATE, so hot paths save len(candidates) tokenizer
+    passes (see :func:`quality_score`).
     """
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
 
     def _marker_hits(markers: list):
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -123,15 +134,21 @@ def language_id(col: Column, candidates: list[str] = ("en", "de", "fr", "es")) -
     return result
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Optional[Column] = None) -> Column:
     """Composite [0,1] document-quality heuristic.
 
     Blend of: length band (50..10000 chars), alphabetic ratio, stopword
     presence, mean word length band (2..12).  Mirrors the usual
     Gopher/C4-style filters; exact weights are arbitrary but fixed.
+
+    *toks* lets hot paths pass an already-materialized token array
+    (``operators.dedup._materialize``): the score reads the array twice
+    (word count + stopword hits), and Catalyst does not CSE tokenizer
+    subtrees under HOF lambdas — identical values either way.
     """
     n_chars = F.char_length(col)
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     n_words = F.size(toks)
     alpha_chars = F.char_length(F.regexp_replace(col, r"[^\p{L}]", ""))
     alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
@@ -153,15 +170,21 @@ def quality_score(col: Column) -> Column:
     return F.round(score, 6)
 
 
-def repetition_fraction(col: Column, n: int = 3) -> Column:
+def repetition_fraction(
+    col: Column, n: int = 3, shingles: Optional[Column] = None
+) -> Column:
     """Gopher-style repetition signal: the fraction of word n-grams that
     are duplicates of an earlier n-gram in the same document
     (``1 - distinct/total``; 0.0 for docs with no n-grams).
 
     A strong boilerplate/spam indicator used by standard web-text quality
     filters.  Single-pass native Columns — no explode, no shuffle.
+
+    *shingles* — optional pre-materialized n-gram array (built with
+    :func:`word_shingles_from_tokens`); the signal reads it twice
+    (total + distinct), so hot paths materialize it once.
     """
-    sh = word_shingles(col, n=n)
+    sh = word_shingles(col, n=n) if shingles is None else shingles
     total = F.size(sh)
     return F.when(
         total > 0,
