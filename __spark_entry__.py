@@ -362,11 +362,14 @@ FROM t
 
 
 def q_lang_id(spark, sf_dir):
-    from patito_spark.functions.text import language_id
+    from patito_spark.functions.text import language_id, tokens
     from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    # NOTE: the package's UNICODE tokenizer (what language_id uses
+    # internally), not this file's ascii _tokens — the DuckDB twin splits
+    # on [^\p{L}\p{N}']+
+    staged = _materialize(docs, _toks=tokens(F.col("text")))
     return staged.select(
         "doc_id",
         language_id(F.col("text"), toks=F.col("_toks")).alias("lang_guess"),
@@ -401,11 +404,14 @@ FROM h
 
 
 def q_quality_scores(spark, sf_dir):
-    from patito_spark.functions.text import quality_score
+    from patito_spark.functions.text import quality_score, tokens
     from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    # unicode tokenizer — matches quality_score's internal default and the
+    # [^\p{L}\p{N}']+ DuckDB twin (ascii _tokens belongs to the
+    # token-count twins only)
+    staged = _materialize(docs, _toks=tokens(F.col("text")))
     return staged.select(
         "doc_id", quality_score(F.col("text"), toks=F.col("_toks")).alias("q")
     )
@@ -441,12 +447,13 @@ def q_repetition_scores(spark, sf_dir):
     """Gopher-style duplicate-trigram fraction per document."""
     from patito_spark.functions.text import (
         repetition_fraction,
+        tokens,
         word_shingles_from_tokens,
     )
     from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    staged = _materialize(docs, _toks=tokens(F.col("text")))
     staged = _materialize(
         staged, _sh=word_shingles_from_tokens(F.col("_toks"), 3)
     )
@@ -2432,30 +2439,35 @@ def q_text_metrics(spark, sf_dir):
         pii_counts,
         quality_score,
         repetition_fraction,
+        tokens,
         word_shingles_from_tokens,
     )
     from patito_spark.operators.dedup import _materialize
 
     docs = _t(spark, sf_dir, "documents")
-    # ONE tokenizer pass (and one shingle build) feeds all five metric
-    # families — inline, language_id alone re-tokenizes per candidate and
-    # the panel totalled ~10 tokenizer evaluations per row (no CSE under
-    # HOF lambdas)
-    staged = _materialize(docs, _toks=_tokens(F.col("text")))
+    # ONE pass per tokenizer feeds all five metric families — inline,
+    # language_id alone re-tokenized per candidate and the panel totalled
+    # ~10 tokenizer evaluations per row (no CSE under HOF lambdas).  TWO
+    # token arrays on purpose: the count columns use this file's ascii
+    # _tokens (their DuckDB twins split on TOK_SQL), the metric family
+    # uses the package's unicode tokenizer (twins split on
+    # [^\p{L}\p{N}']+) — same split as before the materialization.
+    staged = _materialize(docs, _toks_a=_tokens(F.col("text")))
+    staged = _materialize(staged, _toks=tokens(F.col("text")))
     staged = _materialize(
         staged, _sh=word_shingles_from_tokens(F.col("_toks"), 3)
     )
-    toks = F.col("_toks")
+    toks_a = F.col("_toks_a")
     subword = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.char_length(t) / 4).cast("int")
+        toks_a, F.lit(0), lambda acc, t: acc + F.ceil(F.char_length(t) / 4).cast("int")
     )
     counts = pii_counts(F.col("text"))
     return staged.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks_a).alias("n_tokens"),
         subword.cast("long").alias("n_subwords"),
-        language_id(F.col("text"), toks=toks).alias("lang_guess"),
-        quality_score(F.col("text"), toks=toks).alias("q"),
+        language_id(F.col("text"), toks=F.col("_toks")).alias("lang_guess"),
+        quality_score(F.col("text"), toks=F.col("_toks")).alias("q"),
         repetition_fraction(F.col("text"), n=3, shingles=F.col("_sh")).alias("rep"),
         *[c.cast("long").alias(k) for k, c in counts.items()],
     )

@@ -94,6 +94,52 @@ def test_quality_score_ranges(spark, docs):
     assert 0.0 <= bounds[0] <= bounds[1] <= 1.0
 
 
+def test_text_metrics_pretokenized_path_is_unicode(spark):
+    """The toks=/shingles= fast path must reproduce the default UNICODE
+    tokenization bit-for-bit — on non-ascii text, where feeding the
+    ascii count-column tokenizer instead would silently diverge (the
+    sf fixtures are ascii-only, so the oracle gate cannot catch that
+    mix-up; this pins it at the function level)."""
+    from patito_spark.functions.text import (
+        repetition_fraction,
+        tokens,
+        word_shingles_from_tokens,
+    )
+    from patito_spark.operators.dedup import _materialize
+
+    df = spark.createDataFrame(
+        [("the café naïve über straße and the élan of the zürich day",),
+         ("der über hund und die süße katze ist nicht da öfter",),
+         # all-non-ascii words: the ascii pattern tokenizes this to [],
+         # zeroing the word-length band the unicode path scores
+         ("ééé äää ööö üüü ßßß",)],
+        "t string",
+    )
+    staged = _materialize(df, _toks=tokens(F.col("t")))
+    staged = _materialize(staged, _sh=word_shingles_from_tokens(F.col("_toks"), 3))
+    rows = staged.select(
+        quality_score(F.col("t")).alias("q0"),
+        quality_score(F.col("t"), toks=F.col("_toks")).alias("q1"),
+        language_id(F.col("t")).alias("l0"),
+        language_id(F.col("t"), toks=F.col("_toks")).alias("l1"),
+        repetition_fraction(F.col("t"), n=3).alias("r0"),
+        repetition_fraction(F.col("t"), n=3, shingles=F.col("_sh")).alias("r1"),
+    ).collect()
+    for r in rows:
+        assert r["q0"] == r["q1"]
+        assert r["l0"] == r["l1"]
+        assert r["r0"] == r["r1"]
+    # and the mix-up this test exists to catch: an ascii-pattern token
+    # array is NOT a valid input for the unicode metric family
+    ascii_toks = F.filter(
+        F.split(F.lower(F.col("t")), r"[^a-z0-9']+"), lambda x: x != ""
+    )
+    diverged = df.select(
+        (quality_score(F.col("t")) != quality_score(F.col("t"), toks=ascii_toks)).alias("d")
+    ).collect()
+    assert any(r["d"] for r in diverged)
+
+
 def test_md5_long_matches_duckdb(spark):
     import duckdb
 
