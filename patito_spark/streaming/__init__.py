@@ -1,7 +1,12 @@
 """Structured Streaming validation."""
 
 from .dedup import dedup_stream
-from .ingest import compact_stores, crawl_ingest_stream, read_ingested_corpus
+from .ingest import (
+    compact_stores,
+    crawl_ingest_stream,
+    read_ingested_corpus,
+    read_quarantine,
+)
 from .rollup import rollup_stream
 from .sessions import sessionize_stream
 from .validate import flag_violations, validate_stream, windowed_violation_counts
@@ -12,6 +17,7 @@ __all__ = [
     "dedup_stream",
     "flag_violations",
     "read_ingested_corpus",
+    "read_quarantine",
     "rollup_stream",
     "sessionize_stream",
     "validate_stream",

@@ -42,11 +42,17 @@ from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["crawl_ingest_stream", "compact_stores", "read_ingested_corpus"]
+__all__ = [
+    "compact_stores",
+    "crawl_ingest_stream",
+    "read_ingested_corpus",
+    "read_quarantine",
+]
 
 _FINGERPRINTS = "fingerprints"
 _SIGNATURES = "signatures"
 _SURVIVORS = "survivors"
+_QUARANTINE = "quarantine"
 
 
 def _batch_dirs(store_dir: str, upto_batch_id: Optional[int] = None) -> list:
@@ -87,14 +93,31 @@ def _make_batch_processor(
     id_col: str,
     text_col: str,
     increment_kwargs: dict,
+    model: Optional[type] = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body, factored out so tests can drive it
     directly (including replaying a batch id to pin idempotence)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.sql import functions as F
+
         from ..operators.pipeline import prepare_training_increment
 
+        if model is not None:
+            # schema/constraint gate FIRST (the north-rule order: a
+            # malformed page must never reach the dedup stores); the
+            # quarantine rides the same replay-safe batch-dir protocol,
+            # violation rows keep their _violations check names
+            from .validate import flag_violations
+
+            flagged = flag_violations(batch_df, model)
+            flagged.filter(~F.col("_valid")).drop("_valid").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(store_root, _QUARANTINE, f"batch-{batch_id}"))
+            batch_df = flagged.filter(F.col("_valid")).drop(
+                "_valid", "_violations"
+            )
         fp_store = _read_store(
             spark, os.path.join(store_root, _FINGERPRINTS), batch_id
         )
@@ -135,20 +158,29 @@ def crawl_ingest_stream(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 64,
+    model: Optional[type] = None,
 ):
-    """Start the ingest query: each micro-batch is filtered, deduped
-    exactly and near-exactly against the accumulated corpus state under
-    *store_root*, and its survivors + store deltas are committed
+    """Start the ingest query: each micro-batch is (optionally) validated
+    against *model* with violation rows quarantined, then filtered and
+    deduped exactly and near-exactly against the accumulated corpus state
+    under *store_root*, and its survivors + store deltas are committed
     replay-safely (see module docstring).  Returns the
     ``StreamingQuery``; the source offsets live in *checkpoint_dir*, so a
     restarted stream resumes at the first unprocessed batch with the
     stores exactly where the crash left them.
+
+    *model* — a ``patito_spark.Model``; rows failing its row-level checks
+    land under ``<store_root>/quarantine/batch-<n>`` with a
+    ``_violations`` column naming the failed checks
+    (:func:`read_quarantine` reads them back), and never touch the dedup
+    stores.
     """
     processor = _make_batch_processor(
         store_root,
         id_col,
         text_col,
-        dict(
+        model=model,
+        increment_kwargs=dict(
             lang_col=lang_col,
             allowed_langs=allowed_langs,
             min_chars=min_chars,
@@ -174,6 +206,15 @@ def read_ingested_corpus(spark: SparkSession, store_root: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+def read_quarantine(spark: SparkSession, store_root: str) -> DataFrame:
+    """Every quarantined (model-violating) row the stream has committed,
+    with the ``_violations`` check names."""
+    dirs = _batch_dirs(os.path.join(store_root, _QUARANTINE))
+    if not dirs:
+        raise ValueError(f"no quarantined batches under {store_root!r}")
+    return spark.read.parquet(*dirs)
+
+
 def compact_stores(spark: SparkSession, store_root: str) -> dict:
     """Fold per-batch store directories into one ``compacted-<maxid>``
     base per store (run while the stream is STOPPED).  The next batch id
@@ -181,7 +222,7 @@ def compact_stores(spark: SparkSession, store_root: str) -> dict:
     id, so the ``k < batch_id`` read rule keeps seeing the compacted base.
     Returns ``{store: n_dirs_folded}``."""
     folded = {}
-    for sub in (_FINGERPRINTS, _SIGNATURES, _SURVIVORS):
+    for sub in (_FINGERPRINTS, _SIGNATURES, _SURVIVORS, _QUARANTINE):
         store_dir = os.path.join(store_root, sub)
         dirs = _batch_dirs(store_dir)
         if len(dirs) < 2:

@@ -579,7 +579,12 @@ def test_crawl_ingest_compact_stores(spark, tmp_path):
         1,
     )
     folded = compact_stores(spark, root)
-    assert folded == {"fingerprints": 2, "signatures": 2, "survivors": 2}
+    assert folded == {
+        "fingerprints": 2,
+        "signatures": 2,
+        "survivors": 2,
+        "quarantine": 0,
+    }
     assert os.listdir(f"{root}/signatures") == ["compacted-1"]
     # batch 2 still sees both stored docs: its near-dup of doc 2 drops
     proc(
@@ -593,3 +598,61 @@ def test_crawl_ingest_compact_stores(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
     ) == [1, 2, 11]
+
+
+def test_crawl_ingest_validates_and_quarantines(spark, tmp_path):
+    """With model= the processor gates every batch on the row-level
+    checks BEFORE dedup: violation rows land in the quarantine with
+    their _violations names and never touch the stores; the quarantine
+    rides the same replay-safe batch-dir protocol."""
+    from patito_spark.streaming.ingest import (
+        _make_batch_processor,
+        read_ingested_corpus,
+        read_quarantine,
+    )
+
+    class Page(pt.Model):
+        doc_id: int
+        text: str
+        lang: str = pt.Field(allowed=["en", "de"])
+
+    root = str(tmp_path / "stores")
+    schema = "doc_id long, text string, lang string"
+    proc = _make_batch_processor(
+        root, "doc_id", "text",
+        dict(num_hashes=8, bands=4, shingle_n=3),
+        model=Page,
+    )
+    proc(
+        spark.createDataFrame(
+            [(1, "first unique page body with plenty of words here", "en"),
+             (2, "page francaise interdite par le contrat du modele", "fr"),
+             (3, "second unique page body other words entirely now", "en")],
+            schema,
+        ),
+        0,
+    )
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 3]
+    q = read_quarantine(spark, root).collect()
+    assert [(r["doc_id"], r["_violations"]) for r in q] == [(2, ["lang__enum"])]
+    # replay: quarantine must not double up either
+    proc(
+        spark.createDataFrame(
+            [(10, "genuinely fresh third day content alpha beta gamma", "xx")],
+            schema,
+        ),
+        1,
+    )
+    proc(
+        spark.createDataFrame(
+            [(10, "genuinely fresh third day content alpha beta gamma", "xx")],
+            schema,
+        ),
+        1,
+    )
+    assert read_quarantine(spark, root).count() == 2
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 3]
