@@ -842,18 +842,25 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def _sql_md5_slices30() -> str:
+    from patito_spark.functions.hashing import MINHASH_SLICES
+
     return ",\n           ".join(
         f"('0x' || substring(md5(x), {1 + i * 8}, 8))::BIGINT % 1073741824"
-        for i in range(4)
+        for i in range(MINHASH_SLICES)
     )
 
 
 def _sql_minwise_terms(num_hashes: int) -> str:
-    from patito_spark.functions.hashing import MINHASH_P, minhash_constants
+    from patito_spark.functions.hashing import (
+        MINHASH_P,
+        MINHASH_SLICES,
+        minhash_constants,
+    )
 
+    S = MINHASH_SLICES
     return ",\n          ".join(
         f"list_min(list_transform(hs, v -> "
-        f"({a} * v[{k % 4 + 1}] + {b} * v[{(k + 1) % 4 + 1}]) % {MINHASH_P}))"
+        f"({a} * v[{k % S + 1}] + {b} * v[{(k + 1) % S + 1}]) % {MINHASH_P}))"
         for k, (a, b) in enumerate(minhash_constants(num_hashes))
     )
 
@@ -876,7 +883,7 @@ def _sql_minhash_banded(num_hashes: int = 8, bands: int = 4) -> str:
               ELSE [] END AS s
   FROM t
 ), hp AS (
-  -- ONE md5 per shingle, four 30-bit slices; hash k is the per-k
+  -- ONE md5 per shingle, MINHASH_SLICES 30-bit slices; hash k is the per-k
   -- universal multiply-add mod 2^31-1 mirrored from
   -- functions/hashing.py::md5_slices30 / minhash_constants
   SELECT doc_id,

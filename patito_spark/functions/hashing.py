@@ -26,19 +26,32 @@ def md5_long(col: Column) -> Column:
 MINHASH_P = 2**31 - 1
 
 
+#: number of independent 30-bit md5 slices the minhash family mixes.
+#: r1-r7 used 4; r7 measured 2 slices quality-EQUIVALENT (candidate-pair
+#: ratio 0.974 vs the 4-slice family on the sf0.1 corpus, same bands) and
+#: ~32% faster end-to-end on the signature stage (half the conv hex
+#: parses, half the per-shingle array width).  The family stays the
+#: mod-P universal multiply-add — this is NOT the banned no-mod KM
+#: shortcut (see the warning below).  Stores persist the slice count in
+#: their family tag, so pre-change stores fail loudly, never silently.
+MINHASH_SLICES = 2
+
+
 def md5_slices30(col: Column) -> Column:
-    """Array of four independent 30-bit bigints from ONE md5 digest
-    (8 hex chars each, reduced mod 2^30).
+    """Array of ``MINHASH_SLICES`` independent 30-bit bigints from ONE
+    md5 digest (8 hex chars each, reduced mod 2^30).
 
     Basis for k portable hash functions at one digest per value:
-    ``h_k = (A_k * x[k%4] + B_k * x[(k+1)%4]) % (2^31-1)`` with fixed
+    ``h_k = (A_k * x[k%S] + B_k * x[(k+1)%S]) % (2^31-1)`` with fixed
     multiply-add constants per k (see ``minhash_constants``) — a
     2-universal family whose mod-P wrap destroys the cross-k rank
     correlation that a plain linear combination (or Kirsch-Mitzenmacher
     ``h1 + k*h2``) keeps; measured on the documents table, plain KM
     inflated LSH candidate pairs 6.5x vs md5-per-k while this family
-    matches it.  Width budget: A,B < 2^31 and x < 2^30 keep every product
-    under 2^61 — no int64 overflow on either engine, for any k.
+    matches it (and the S=2 layout matches S=4 at 0.974 — both
+    measurements in BENCH/BASELINE.md).  Width budget: A,B < 2^31 and
+    x < 2^30 keep every product under 2^61 — no int64 overflow on either
+    engine, for any k.
     DuckDB twin: ``('0x'||substring(md5(x), 1+i*8, 8))::BIGINT % 1073741824``.
     """
     digest = F.md5(col)
@@ -46,7 +59,7 @@ def md5_slices30(col: Column) -> Column:
         *[
             F.conv(F.substring(digest, 1 + i * 8, 8), 16, 10).cast("bigint")
             % F.lit(2**30).cast("bigint")
-            for i in range(4)
+            for i in range(MINHASH_SLICES)
         ]
     )
 

@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import MINHASH_SLICES as _MINHASH_SLICES_TAG
 from ..functions.hashing import md5_long
 from ..functions.text import doc_fingerprint, normalize_text, tokens, word_shingles
 from ..functions.vectors import cosine_similarity
@@ -265,19 +266,19 @@ def minhash_signature(
     """Array of ``num_hashes`` minhash values (bigints, engine-portable).
 
     ONE md5 per shingle, not one per (shingle, k): the digest is split
-    into four 30-bit slices and hash k is a per-k universal multiply-add
-    over two of them mod 2^31-1 (``functions.hashing.md5_slices30`` has
-    the family, its measured quality vs alternatives, and the overflow
-    budget).  minhash_k = min over shingles — int64 ordering is identical
-    in every engine, and the md5 basis keeps the pipeline auditable
-    offline.
+    into ``MINHASH_SLICES`` 30-bit slices and hash k is a per-k universal
+    multiply-add over two of them mod 2^31-1
+    (``functions.hashing.md5_slices30`` has the family, its measured
+    quality vs alternatives, and the overflow budget).  minhash_k = min
+    over shingles — int64 ordering is identical in every engine, and the
+    md5 basis keeps the pipeline auditable offline.
     """
     shingles = _shingle_hash_slices(word_shingles(text_col, n=shingle_n))
     return _minwise_signature(shingles, num_hashes)
 
 
 def _shingle_hash_slices(shingles: Column) -> Column:
-    """array<array<bigint>> — one md5 per shingle, split into the four
+    """array<array<bigint>> — one md5 per shingle, split into the
     30-bit mixing slices."""
     from ..functions.hashing import md5_slices30
 
@@ -285,17 +286,18 @@ def _shingle_hash_slices(shingles: Column) -> Column:
 
 
 def _minwise_signature(hash_slices: Column, num_hashes: int) -> Column:
-    """sig[k] = min over shingles of ``(A_k*x[k%4] + B_k*x[(k+1)%4]) % P``
-    — arithmetic only; the md5 work happened once upstream."""
-    from ..functions.hashing import MINHASH_P, minhash_constants
+    """sig[k] = min over shingles of ``(A_k*x[k%S] + B_k*x[(k+1)%S]) % P``
+    (S = ``MINHASH_SLICES``) — arithmetic only; the md5 work happened once
+    upstream."""
+    from ..functions.hashing import MINHASH_P, MINHASH_SLICES, minhash_constants
 
     consts = minhash_constants(num_hashes)
 
     def _mix(k: int, a: int, b: int):
         def inner(x: Column) -> Column:
             return (
-                F.lit(a).cast("bigint") * F.get(x, k % 4)
-                + F.lit(b).cast("bigint") * F.get(x, (k + 1) % 4)
+                F.lit(a).cast("bigint") * F.get(x, k % MINHASH_SLICES)
+                + F.lit(b).cast("bigint") * F.get(x, (k + 1) % MINHASH_SLICES)
             ) % F.lit(MINHASH_P).cast("bigint")
 
         return inner
@@ -551,7 +553,8 @@ def minhash_signatures(
     """
     banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
     tag = _family_tag(
-        "minhash", num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        "minhash", num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, slices=_MINHASH_SLICES_TAG
     )
     return banded.select(
         F.col("_id").alias(id_col),
@@ -599,7 +602,8 @@ def incremental_minhash_pairs(
     stored_signatures = _check_store_family(
         stored_signatures,
         _family_tag(
-            "minhash", num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+            "minhash", num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, slices=_MINHASH_SLICES_TAG
         ),
         "incremental_minhash_pairs",
     )
