@@ -374,20 +374,37 @@ def run_headline() -> tuple:
     return timings, (round(headline_cal), round(headline_cal_after))
 
 
-def _wait_for_quiet_window() -> dict:
-    """Optionally gate the run on a quiet host window (VERDICT r6 item 4).
+#: headline sums with bracket probes below this are unusable — below
+#: ~3.2 M the md5 probe understates starvation (r7 measured a uniform 3x
+#: slowdown on unchanged code at a 2.95 M bracket); see BENCH/BASELINE.md
+PROBE_FLOOR = float(os.environ.get("PATITO_BENCH_PROBE_FLOOR", "3200000"))
 
-    ``PATITO_BENCH_WAIT_QUIET=<probe-threshold>`` polls the md5 compute
-    probe until it reports at least that many deliverable iterations/sec
-    (the BENCH/BASELINE.md quiet band starts ≳ 4.5 M for 32 procs) or
-    ``PATITO_BENCH_WAIT_BUDGET`` seconds (default 3600) elapse, then lets
-    the bench proceed either way.  The returned dict is embedded in the
-    artifact so a budget-exhausted (still-hostile) run self-identifies.
+
+def _wait_for_quiet_window() -> dict:
+    """Gate the run on a quiet host window (VERDICT r6 item 4; ON BY
+    DEFAULT since r8 — the r7 driver artifact published an unusable
+    sub-floor headline because the gate was opt-in).
+
+    Polls the md5 compute probe until it reports at least
+    ``PATITO_BENCH_WAIT_QUIET`` deliverable iterations/sec (default
+    4.0 M for 32 procs — the near-quiet band; the fully-quiet anchor is
+    ≳ 4.5 M, see BENCH/BASELINE.md) or ``PATITO_BENCH_WAIT_BUDGET``
+    seconds (default 600) elapse, then lets the bench proceed either
+    way.  ``PATITO_BENCH_WAIT_QUIET=0`` disables; headline-only runs
+    (``PATITO_BENCH_SKIP_SCALING=1``) skip the gate unless a threshold
+    is set explicitly, keeping the ~1-min iteration loop fast.  The
+    returned dict is embedded in the artifact so a budget-exhausted
+    (still-hostile) run self-identifies.
     """
-    threshold = float(os.environ.get("PATITO_BENCH_WAIT_QUIET", "0") or 0)
+    default = (
+        "0"
+        if os.environ.get("PATITO_BENCH_SKIP_SCALING") == "1"
+        else "4000000"
+    )
+    threshold = float(os.environ.get("PATITO_BENCH_WAIT_QUIET", default) or 0)
     if not threshold:
         return {}
-    budget = float(os.environ.get("PATITO_BENCH_WAIT_BUDGET", "3600"))
+    budget = float(os.environ.get("PATITO_BENCH_WAIT_BUDGET", "600"))
     interval = float(os.environ.get("PATITO_BENCH_WAIT_INTERVAL", "25"))
     t0 = time.time()
     probes = []
@@ -410,6 +427,23 @@ def main() -> None:
         return
     wait_info = _wait_for_quiet_window()
     timings, headline_cal = run_headline()
+    discarded = None
+    # one bounded retry when the bracket lands below the usability floor
+    # (VERDICT r7 item 2): wait for a quiet window again and re-measure;
+    # publish whichever attempt has the better (higher) bracket minimum,
+    # with the discarded attempt kept in the artifact for attribution
+    if min(headline_cal) < PROBE_FLOOR and os.environ.get(
+        "PATITO_BENCH_HEADLINE_RETRY", "1"
+    ) == "1":
+        wait2 = _wait_for_quiet_window()
+        timings2, cal2 = run_headline()
+        if min(cal2) > min(headline_cal):
+            discarded = {"queries": timings, "probes": headline_cal}
+            timings, headline_cal = timings2, cal2
+        else:
+            discarded = {"queries": timings2, "probes": cal2}
+        for k, v in wait2.items():
+            wait_info[f"retry_{k}"] = v
     scaling = {}
     if os.environ.get("PATITO_BENCH_SKIP_SCALING") != "1":
         scaling = run_scaling()
@@ -428,10 +462,13 @@ def main() -> None:
         "deliverable_compute_headline": headline_cal[0],
         "deliverable_compute_headline_after": headline_cal[1],
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "probe_floor": round(PROBE_FLOOR),
         "scaling": scaling,
     }
     if wait_info:
         result["quiet_wait"] = wait_info
+    if discarded is not None:
+        result["headline_discarded_attempt"] = discarded
     print(json.dumps(result))
 
 

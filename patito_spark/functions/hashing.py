@@ -27,14 +27,17 @@ MINHASH_P = 2**31 - 1
 
 
 #: number of independent 30-bit md5 slices the minhash family mixes.
-#: r1-r7 used 4; r7 measured 2 slices quality-EQUIVALENT (candidate-pair
-#: ratio 0.974 vs the 4-slice family on the sf0.1 corpus, same bands) and
-#: ~32% faster end-to-end on the signature stage (half the conv hex
-#: parses, half the per-shingle array width).  The family stays the
-#: mod-P universal multiply-add — this is NOT the banned no-mod KM
-#: shortcut (see the warning below).  Stores persist the slice count in
-#: their family tag, so pre-change stores fail loudly, never silently.
-MINHASH_SLICES = 2
+#: FOUR, by measurement. r7's end-of-round snapshot briefly cut this to 2
+#: citing a candidate-pair-ratio "measurement" that was never recorded;
+#: r8 built the planted-pair recall harness (tests/test_minhash_recall.py,
+#: numbers in BENCH/BASELINE.md "MinHash slice-count recall study") and
+#: S=2 LOSES true near-dup pairs on short documents: with only two slices
+#: every hash k mixes the same two 30-bit values, so signatures of
+#: Jaccard≈0.7 pairs agree in too few positions to band-collide (4 LSH
+#: recall tests red at S=2, green at S=4).  Pair-count ratio cannot
+#: distinguish "same quality" from "lost true + gained false" — do not
+#: change this constant without the recall harness.
+MINHASH_SLICES = 4
 
 
 def md5_slices30(col: Column) -> Column:
@@ -48,8 +51,9 @@ def md5_slices30(col: Column) -> Column:
     correlation that a plain linear combination (or Kirsch-Mitzenmacher
     ``h1 + k*h2``) keeps; measured on the documents table, plain KM
     inflated LSH candidate pairs 6.5x vs md5-per-k while this family
-    matches it (and the S=2 layout matches S=4 at 0.974 — both
-    measurements in BENCH/BASELINE.md).  Width budget: A,B < 2^31 and
+    matches it (BENCH/BASELINE.md optimization log; the slice COUNT is
+    pinned by the planted-pair recall study — see ``MINHASH_SLICES``
+    above).  Width budget: A,B < 2^31 and
     x < 2^30 keep every product under 2^61 — no int64 overflow on either
     engine, for any k.
     DuckDB twin: ``('0x'||substring(md5(x), 1+i*8, 8))::BIGINT % 1073741824``.

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from py4j.protocol import Py4JError
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,13 +110,21 @@ def connected_components(
         # extra uuid nesting level per call, still under the same root).
         jsc = sc._jsc.sc()
         prev_opt = jsc.getCheckpointDir()
-        _restore_setter = getattr(jsc, "checkpointDir_$eq", None)
 
         def _restore_prev() -> None:
-            if _restore_setter is not None:
-                _restore_setter(prev_opt)
-            elif prev_opt.isDefined():
-                sc.setCheckpointDir(prev_opt.get())
+            # py4j's __getattr__ always hands back a JavaMember whether
+            # or not the JVM method exists, so a getattr(...)-is-None
+            # probe can never select the fallback — the absence only
+            # surfaces as Py4JError AT CALL TIME.  Catch it there so a
+            # Spark that drops the private setter degrades to
+            # re-setting the resolved path (one extra uuid nesting
+            # level, same root) instead of raising inside finally and
+            # masking the original exception.
+            try:
+                getattr(jsc, "checkpointDir_$eq")(prev_opt)
+            except Py4JError:
+                if prev_opt.isDefined():
+                    sc.setCheckpointDir(prev_opt.get())
 
         run_dir = f"{checkpoint_dir}/run-{uuid.uuid4().hex[:12]}"
 

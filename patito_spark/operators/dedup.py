@@ -154,11 +154,26 @@ def _check_store_family(
     scale this is noise next to the batch job it guards).  All rows of a
     store carry the same literal by construction, so the first row is
     authoritative.  A store WITHOUT the column (written before the tag
-    existed) is accepted as-is: the parameter match stays a caller
-    obligation for legacy snapshots, and rewriting them through the
-    current ``*_signatures`` builder upgrades them.
+    existed) is accepted with a LOUD warning: an untagged store built
+    under different parameters would not error — it would silently
+    return ~no pairs (duplicates pass), the worst failure mode this
+    module has (VERDICT r7/ADVICE).  Upgrade legacy snapshots once via
+    :func:`tag_store` (or rewrite them through the current
+    ``*_signatures`` builder) to make the mismatch case impossible.
     """
     if FAMILY_COL not in store.columns:
+        import warnings
+
+        warnings.warn(
+            f"{caller}: signature store has no '{FAMILY_COL}' tag (pre-tag "
+            f"snapshot) — cannot verify it was built with family "
+            f"'{expected}'. A parameter mismatch would SILENTLY miss "
+            "near-duplicates, not raise. Upgrade the snapshot once with "
+            "patito_spark.operators.dedup.tag_store(store, ...) and "
+            "persist it.",
+            UserWarning,
+            stacklevel=3,
+        )
         return store
     row = store.select(FAMILY_COL).first()
     if row is not None and row[0] != expected:
@@ -170,6 +185,35 @@ def _check_store_family(
             "parameters"
         )
     return store.drop(FAMILY_COL)
+
+
+def tag_store(store: DataFrame, kind: str, **params) -> DataFrame:
+    """One-time upgrade of a legacy (pre-tag) signature store: stamp the
+    family the caller KNOWS it was built with, so every later consumer
+    asserts instead of trusting.
+
+    ``kind``/``params`` must mirror the builder that produced the store —
+    e.g. a pre-r7 minhash snapshot (all of which used the 4-slice md5
+    family)::
+
+        tagged = tag_store(store, "minhash",
+                           num_hashes=16, bands=4, shingle_n=3, slices=4)
+        tagged.write.parquet(...)   # persist; the warning never fires again
+
+    Refuses a store that already carries a (different) tag — retagging a
+    tagged store is either a no-op or a lie.
+    """
+    tag = _family_tag(kind, **params)
+    if FAMILY_COL in store.columns:
+        row = store.select(FAMILY_COL).first()
+        if row is not None and row[0] != tag:
+            raise ValueError(
+                f"tag_store: store already tagged '{row[0]}' — refusing to "
+                f"restamp as '{tag}'; a retag cannot fix a family mismatch, "
+                "rebuild the store instead"
+            )
+        return store
+    return store.withColumn(FAMILY_COL, F.lit(tag))
 
 
 def replace_in_store(

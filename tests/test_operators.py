@@ -659,11 +659,43 @@ def test_incremental_store_family_mismatch_raises(spark):
         incremental_embedding_near_dups(
             vbatch, "vec_id", "embedding", emb_store, planes=12
         ).collect()
-    # legacy tag-less store: accepted as-is (caller obligation)
+    # legacy tag-less store: accepted, but LOUDLY — silence would leave
+    # the one silent-mismatch path alive (ADVICE r7)
     legacy = mh_store.drop("family")
-    incremental_minhash_pairs(
-        batch, "doc_id", "text", legacy, num_hashes=16, bands=4
-    ).collect()
+    with pytest.warns(UserWarning, match="no 'family' tag"):
+        incremental_minhash_pairs(
+            batch, "doc_id", "text", legacy, num_hashes=16, bands=4
+        ).collect()
+    # the documented upgrade path: tag_store stamps the family the
+    # caller knows built it; consumers then assert instead of trusting
+    import warnings as _warnings
+
+    from patito_spark.operators.dedup import tag_store
+
+    from patito_spark.functions.hashing import MINHASH_SLICES
+
+    upgraded = tag_store(
+        legacy, "minhash",
+        num_hashes=8, bands=4, shingle_n=3, slices=MINHASH_SLICES,
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any warning fails the test
+        incremental_minhash_pairs(
+            batch, "doc_id", "text", upgraded, num_hashes=8, bands=4
+        ).collect()
+    # an upgraded-but-wrong family still raises at consumption
+    with pytest.raises(ValueError, match="num_hashes=8"):
+        incremental_minhash_pairs(
+            batch, "doc_id", "text", upgraded, num_hashes=16, bands=4
+        ).collect()
+    # retagging a tagged store with a different family is refused
+    with pytest.raises(ValueError, match="refusing to"):
+        tag_store(upgraded, "minhash", num_hashes=16, bands=4)
+    # idempotent when the tag already matches
+    assert tag_store(
+        upgraded, "minhash",
+        num_hashes=8, bands=4, shingle_n=3, slices=MINHASH_SLICES,
+    ).columns == upgraded.columns
 
 
 def test_oversized_bucket_never_aggregated(spark, docs):

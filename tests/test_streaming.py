@@ -552,8 +552,12 @@ def test_crawl_ingest_batch_replay_is_idempotent(spark, tmp_path):
 
 
 def test_crawl_ingest_compact_stores(spark, tmp_path):
-    """Compaction folds per-batch dirs into one base; the restarted
-    stream keeps deduping against the compacted state."""
+    """Compaction folds all COMMITTED per-batch dirs into one base; the
+    NEWEST batch dir is never folded — Structured Streaming commits
+    offsets in order, so every id strictly below the max is committed,
+    but the max itself may be an uncommitted attempt whose replay must
+    still read the pre-batch store state (and must not be
+    double-counted by read_ingested_corpus)."""
     import os
 
     from patito_spark.streaming import compact_stores, read_ingested_corpus
@@ -578,6 +582,12 @@ def test_crawl_ingest_compact_stores(spark, tmp_path):
         ),
         1,
     )
+    b2 = spark.createDataFrame(
+        [(10, "second unique page body other words entirely today", "en"),
+         (11, "genuinely fresh third day content alpha beta gamma", "en")],
+        schema,
+    )
+    proc(b2, 2)  # newest batch — possibly not offset-committed yet
     folded = compact_stores(spark, root)
     assert folded == {
         "fingerprints": 2,
@@ -585,19 +595,29 @@ def test_crawl_ingest_compact_stores(spark, tmp_path):
         "survivors": 2,
         "quarantine": 0,
     }
-    assert os.listdir(f"{root}/signatures") == ["compacted-1"]
-    # batch 2 still sees both stored docs: its near-dup of doc 2 drops
-    proc(
-        spark.createDataFrame(
-            [(10, "second unique page body other words entirely today", "en"),
-             (11, "genuinely fresh third day content alpha beta gamma", "en")],
-            schema,
-        ),
-        2,
-    )
+    assert sorted(os.listdir(f"{root}/signatures")) == [
+        "batch-2",
+        "compacted-1",
+    ]
+    # the crash-before-commit scenario: batch 2 replays AFTER compaction
+    # and must see exactly the pre-batch store (its near-dup of doc 2
+    # still drops) with no double count of its own survivors
+    proc(b2, 2)
     assert sorted(
         r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
     ) == [1, 2, 11]
+    # next batch sees compacted base + batch-2: exact dup of 1 drops
+    proc(
+        spark.createDataFrame(
+            [(20, "first unique page body with plenty of words here", "en"),
+             (21, "completely new fourth day material delta epsilon zeta", "en")],
+            schema,
+        ),
+        3,
+    )
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 2, 11, 21]
 
 
 def test_crawl_ingest_validates_and_quarantines(spark, tmp_path):
@@ -656,3 +676,195 @@ def test_crawl_ingest_validates_and_quarantines(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
     ) == [1, 3]
+
+
+def test_crawl_ingest_quarantine_lineage(spark, tmp_path):
+    """Quarantined rows carry the _spec_hash of the model version that
+    flagged them — lineage that rides IN the rows (so it survives
+    compaction) — and read_quarantine_specs resolves every hash to its
+    full spec JSON, round-trippable via model_from_spec_json."""
+    import json
+
+    from patito_spark.spec import model_from_spec_json
+    from patito_spark.streaming.ingest import (
+        _make_batch_processor,
+        read_quarantine,
+        read_quarantine_specs,
+    )
+
+    class PageV1(pt.Model):
+        doc_id: int
+        text: str
+        lang: str = pt.Field(allowed=["en"])
+
+    class PageV2(pt.Model):
+        doc_id: int
+        text: str
+        lang: str = pt.Field(allowed=["en", "de"])
+
+    root = str(tmp_path / "stores")
+    schema = "doc_id long, text string, lang string"
+    kwargs = dict(num_hashes=8, bands=4, shingle_n=3)
+    # batch 0 under spec v1, batch 1 under the evolved spec v2
+    _make_batch_processor(root, "doc_id", "text", kwargs, model=PageV1)(
+        spark.createDataFrame(
+            [(1, "erste deutsche seite die v-eins noch verbietet hier", "de"),
+             (2, "first unique page body with plenty of words here", "en")],
+            schema,
+        ),
+        0,
+    )
+    _make_batch_processor(root, "doc_id", "text", kwargs, model=PageV2)(
+        spark.createDataFrame(
+            [(3, "page francaise que meme v-deux interdit encore ici", "fr"),
+             (4, "second unique page body other words entirely now", "de")],
+            schema,
+        ),
+        1,
+    )
+    q = {r["doc_id"]: r["_spec_hash"] for r in read_quarantine(spark, root).collect()}
+    assert sorted(q) == [1, 3]
+    assert q[1] != q[3]  # two model versions, two hashes
+    specs = read_quarantine_specs(spark, root)
+    assert set(specs) == {q[1], q[3]}
+    # each hash resolves to a reconstructable model whose allowed-values
+    # contract explains WHY its rows were flagged
+    v1 = model_from_spec_json(specs[q[1]])
+    v2 = model_from_spec_json(specs[q[3]])
+    assert json.loads(specs[q[1]]) != json.loads(specs[q[3]])
+    assert v1.specs["lang"].allowed_values == ["en"]
+    assert v2.specs["lang"].allowed_values == ["en", "de"]
+
+
+def test_crawl_ingest_file_uri_store_root(spark, tmp_path):
+    """The store protocol speaks the Hadoop FileSystem API: a file:/ URI
+    store_root works end-to-end — stream, replay-safe stores, lineage
+    reads, compaction — without any driver-local os.* assumption."""
+    from patito_spark.streaming import (
+        compact_stores,
+        crawl_ingest_stream,
+        read_ingested_corpus,
+    )
+
+    src = str(tmp_path / "src")
+    root = (tmp_path / "stores").as_uri()  # file:///...
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = crawl_ingest_stream(
+            stream, "doc_id", "text", root, ckpt,
+            num_hashes=8, bands=4, shingle_n=3,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed([
+        (1, "first unique page body with plenty of words here", "en"),
+        (2, "second unique page body other words entirely now", "en"),
+    ])
+    run()
+    feed([
+        (10, "second unique page body other words entirely today", "en"),
+        (11, "genuinely fresh third day content alpha beta gamma", "en"),
+    ])
+    run()
+    feed([
+        (20, "completely new fourth day material delta epsilon zeta", "en"),
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 2, 11, 20]
+    folded = compact_stores(spark, root)
+    assert folded["survivors"] == 2  # batches 0,1 fold; newest stays
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 2, 11, 20]
+
+
+def test_compact_stores_refuses_active_stream(spark, tmp_path):
+    """Compacting while the ingest query is live would race the
+    k < batch_id read rule — compact_stores must refuse, and work again
+    once the stream is stopped."""
+    from patito_spark.streaming import compact_stores, crawl_ingest_stream
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "stores")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+    batches = (
+        [(1, "first unique page body with plenty of words here", "en")],
+        [(2, "second unique page body other words entirely now", "en")],
+        [(3, "genuinely fresh third day content alpha beta gamma", "en")],
+    )
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    feed(batches[0])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = crawl_ingest_stream(
+        stream, "doc_id", "text", root, ckpt,
+        num_hashes=8, bands=4, shingle_n=3,
+    )
+    try:
+        q.processAllAvailable()
+        for rows in batches[1:]:  # separate micro-batches, live query
+            feed(rows)
+            q.processAllAvailable()
+        with pytest.raises(RuntimeError, match="still active"):
+            compact_stores(spark, root)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    folded = compact_stores(spark, root)
+    assert folded["survivors"] == 2  # batches 0,1 fold; newest stays
+
+
+def test_compaction_crash_leftovers_ignored_and_cleaned(spark, tmp_path):
+    """A crash between compaction's rename and its deletes leaves folded
+    dirs behind.  The read rule must ignore them (only the highest
+    compacted base counts; batch ids <= its id are inside it), and the
+    next compact_stores run must delete them."""
+    import os
+
+    from patito_spark.streaming import compact_stores, read_ingested_corpus
+    from patito_spark.streaming.ingest import _make_batch_processor
+
+    root = str(tmp_path / "stores")
+    schema = "doc_id long, text string, lang string"
+    proc = _make_batch_processor(
+        root, "doc_id", "text", dict(num_hashes=8, bands=4, shingle_n=3)
+    )
+    rows = [
+        (1, "first unique page body with plenty of words here", "en"),
+        (2, "second unique page body other words entirely now", "en"),
+        (3, "genuinely fresh third day content alpha beta gamma", "en"),
+    ]
+    for i, row in enumerate(rows):
+        proc(spark.createDataFrame([row], schema), i)
+    assert compact_stores(spark, root)["survivors"] == 2
+    # simulate the crash leftover: batch-1's rows are already inside
+    # compacted-1; the dir reappears
+    spark.createDataFrame([rows[1]], schema).write.parquet(
+        f"{root}/survivors/batch-1"
+    )
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 2, 3]  # no double count of doc 2
+    compact_stores(spark, root)
+    assert "batch-1" not in os.listdir(f"{root}/survivors")
+    assert sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+    ) == [1, 2, 3]
