@@ -6,6 +6,7 @@ from .ingest import (
     crawl_ingest_stream,
     read_ingested_corpus,
     read_quarantine,
+    read_quarantine_specs,
 )
 from .rollup import rollup_stream
 from .sessions import sessionize_stream
@@ -18,6 +19,7 @@ __all__ = [
     "flag_violations",
     "read_ingested_corpus",
     "read_quarantine",
+    "read_quarantine_specs",
     "rollup_stream",
     "sessionize_stream",
     "validate_stream",
