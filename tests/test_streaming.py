@@ -540,15 +540,15 @@ def test_crawl_ingest_batch_replay_is_idempotent(spark, tmp_path):
         (r["doc_id"],)
         for r in read_ingested_corpus(spark, root).collect()
     }
-    fp_once = _read_store(spark, f"{root}/fingerprints", None).count()
-    sig_once = _read_store(spark, f"{root}/signatures", None).count()
+    fp_once = _read_store(spark, root, "fingerprints", None).count()
+    sig_once = _read_store(spark, root, "signatures", None).count()
     proc(b1, 1)  # replay
     assert {
         (r["doc_id"],)
         for r in read_ingested_corpus(spark, root).collect()
     } == once == {(1,), (2,), (11,)}
-    assert _read_store(spark, f"{root}/fingerprints", None).count() == fp_once
-    assert _read_store(spark, f"{root}/signatures", None).count() == sig_once
+    assert _read_store(spark, root, "fingerprints", None).count() == fp_once
+    assert _read_store(spark, root, "signatures", None).count() == sig_once
 
 
 def test_crawl_ingest_compact_stores(spark, tmp_path):
@@ -868,3 +868,110 @@ def test_compaction_crash_leftovers_ignored_and_cleaned(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
     ) == [1, 2, 3]
+
+
+def test_crawl_ingest_table_store_backend(spark):
+    """store_root='table:<prefix>' maps the slot protocol onto catalog
+    tables partitioned by _ingest_batch_id: delta writes are DYNAMIC
+    PARTITION OVERWRITES (replay of a batch replaces only its own
+    partition), store reads below the replay horizon are
+    partition-PRUNED scans (plan-asserted), quarantine lineage rides in
+    table rows + a specs table, and compaction rewrites committed
+    partitions in place, never the newest."""
+    import uuid
+
+    from patito_spark.streaming import (
+        compact_stores,
+        crawl_ingest_stream,  # noqa: F401 — API parity; driven via processor
+        read_ingested_corpus,
+        read_quarantine,
+        read_quarantine_specs,
+    )
+    from patito_spark.streaming.ingest import (
+        _make_batch_processor,
+        _marker_get,
+        _marker_put,
+        _read_store,
+    )
+
+    prefix = f"ingest_{uuid.uuid4().hex[:8]}"
+    root = f"table:{prefix}"
+
+    class Page(pt.Model):
+        doc_id: int
+        text: str
+        lang: str = pt.Field(allowed=["en"])
+
+    schema = "doc_id long, text string, lang string"
+    proc = _make_batch_processor(
+        root, "doc_id", "text",
+        dict(num_hashes=8, bands=4, shingle_n=3), model=Page,
+    )
+    b1 = spark.createDataFrame(
+        [(10, "first unique page body with plenty of words here", "en"),  # exact dup of 1
+         (11, "genuinely fresh third day content alpha beta gamma", "en")],
+        schema,
+    )
+    try:
+        proc(
+            spark.createDataFrame(
+                [(1, "first unique page body with plenty of words here", "en"),
+                 (2, "page francaise interdite par le contrat du modele", "fr")],
+                schema,
+            ),
+            0,
+        )
+        proc(b1, 1)
+        assert sorted(
+            r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+        ) == [1, 11]
+        fp_once = _read_store(spark, root, "fingerprints", None).count()
+        proc(b1, 1)  # replay: partition 1 overwritten, nothing appended
+        assert sorted(
+            r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+        ) == [1, 11]
+        assert _read_store(spark, root, "fingerprints", None).count() == fp_once
+        # quarantine lineage in rows + specs table
+        q = read_quarantine(spark, root).collect()
+        assert [(r["doc_id"], r["_violations"]) for r in q] == [
+            (2, ["lang__enum"])
+        ]
+        specs = read_quarantine_specs(spark, root)
+        assert q[0]["_spec_hash"] in specs
+        # the k < n read is a partition-pruned scan, not a full one
+        pruned = spark.table(f"{prefix}_fingerprints").filter(
+            F.col("_ingest_batch_id") < 1
+        )
+        pruned.collect()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_ingest_batch_id" in plan
+        assert _read_store(spark, root, "fingerprints", 1).count() == 1
+        # near-dup of a TABLE-stored survivor drops in the next batch
+        proc(
+            spark.createDataFrame(
+                [(20, "genuinely fresh third day content alpha beta delta", "en"),
+                 (21, "completely new fourth day material epsilon zeta eta", "en")],
+                schema,
+            ),
+            2,
+        )
+        assert sorted(
+            r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+        ) == [1, 11, 21]
+        # marker round-trips through the meta table; a non-live id does
+        # not block compaction
+        _marker_put(spark, root, "not-a-live-query-id")
+        assert _marker_get(spark, root) == "not-a-live-query-id"
+        folded = compact_stores(spark, root)
+        # survivors/fingerprints/signatures have partitions 0,1,2:
+        # 0 and 1 rewritten in place, newest (2) untouched; quarantine
+        # only ever materialized partition 0 (no violations later)
+        assert folded["survivors"] == 2
+        assert folded["quarantine"] == 0
+        assert sorted(
+            r["doc_id"] for r in read_ingested_corpus(spark, root).collect()
+        ) == [1, 11, 21]
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
