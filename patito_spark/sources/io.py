@@ -221,7 +221,16 @@ def write_validated(
     nullability, bounds, enums, patterns, row-wise constraints.  Dataset
     checks (uniqueness, schema errors) need the full validate()/runner
     path; they are not expressible as a per-row filter.
+
+    Quarantined rows carry a ``_spec_hash`` column (md5 of
+    ``model.spec_json()``) — the same lineage the streaming ingest
+    quarantine records, so batch- and stream-quarantined rows stay
+    attributable to the model version that flagged them across spec
+    evolution (resolve the hash via ``model.spec_json()`` archives or
+    ``streaming.read_quarantine_specs`` stores).
     """
+    import hashlib
+
     from ..streaming.validate import flag_violations
 
     flagged = flag_violations(df, model)
@@ -229,7 +238,10 @@ def write_validated(
     good.write.format(fmt).mode(mode).save(path)
     spark = df.sparkSession
     written = spark.read.format(fmt).load(path).count()
-    bad = flagged.filter(~F.col("_valid")).drop("_valid")
+    spec_hash = hashlib.md5(model.spec_json().encode()).hexdigest()
+    bad = flagged.filter(~F.col("_valid")).drop("_valid").withColumn(
+        "_spec_hash", F.lit(spec_hash)
+    )
     if quarantine_path is not None:
         bad.write.format(fmt).mode(mode).save(quarantine_path)
         quarantined = spark.read.format(fmt).load(quarantine_path).count()

@@ -204,9 +204,16 @@ def test_write_validated_quarantine_split(spark, tmp_path):
     good = spark.read.parquet(good_path)
     assert sorted(r["k"] for r in good.collect()) == [1, 5]
     assert "_violations" not in good.columns
-    bad = {r["k"]: list(r["_violations"]) for r in spark.read.parquet(bad_path).collect()}
+    bad_rows = spark.read.parquet(bad_path).collect()
+    bad = {r["k"]: list(r["_violations"]) for r in bad_rows}
     assert bad[2] == ["v__bound0"] and bad[3] == ["kind__enum"]
     assert bad[4] == ["v__null"]
+    # spec lineage: every quarantined row names the model version that
+    # flagged it (same convention as the streaming ingest quarantine)
+    import hashlib
+
+    want_hash = hashlib.md5(M.spec_json().encode()).hexdigest()
+    assert {r["_spec_hash"] for r in bad_rows} == {want_hash}
     # no quarantine path: dropped but counted
     counts2 = write_validated(df, M, str(tmp_path / "good2"))
     assert counts2 == {"written": 2, "quarantined": 3}
