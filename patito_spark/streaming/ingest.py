@@ -257,9 +257,25 @@ def _write_delta_table(df: DataFrame, table: str, batch_id: int) -> None:
         out.write.partitionBy(_BATCH_COL).mode("overwrite").saveAsTable(table)
         return
     out = out.localCheckpoint(eager=True)
+    # schema evolution, the table twin of the dir backend's mergeSchema:
+    # a delta column the table lacks is ADDed (old partitions read NULL),
+    # a table column the delta lacks is null-filled — so a mid-stream
+    # page-schema or model evolution widens the store instead of breaking
+    # the positional insert
+    table_fields = {f.name: f for f in spark.table(table).schema.fields}
+    new_cols = [c for c in out.columns if c not in table_fields]
+    if new_cols:
+        fields = {f.name: f for f in out.schema.fields}
+        specs = ", ".join(
+            f"`{c}` {fields[c].dataType.simpleString()}" for c in new_cols
+        )
+        spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({specs})")
+        table_fields = {f.name: f for f in spark.table(table).schema.fields}
+    for c, field in table_fields.items():
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast(field.dataType))
     # insertInto is POSITIONAL: reorder to the table's column order
-    cols = spark.table(table).columns
-    _dynamic_overwrite(spark, out.select(*cols), table)
+    _dynamic_overwrite(spark, out.select(*table_fields), table)
 
 
 def _read_store_table(

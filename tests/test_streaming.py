@@ -975,3 +975,55 @@ def test_crawl_ingest_table_store_backend(spark):
         for t in spark.catalog.listTables():
             if t.name.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_table_store_schema_evolution(spark):
+    """Mid-stream page-schema evolution widens table stores instead of
+    breaking the positional insert (the table twin of the dir backend's
+    mergeSchema): a new column is ADDed (old slots read NULL), a batch
+    missing a column null-fills it."""
+    import uuid
+
+    from patito_spark.streaming.ingest import (
+        _make_batch_processor,
+        read_ingested_corpus,
+    )
+
+    prefix = f"ingest_{uuid.uuid4().hex[:8]}"
+    root = f"table:{prefix}"
+    kw = dict(num_hashes=8, bands=4, shingle_n=3)
+    proc = _make_batch_processor(root, "doc_id", "text", kw)
+    try:
+        proc(
+            spark.createDataFrame(
+                [(1, "first unique page body with plenty of words here", "en")],
+                "doc_id long, text string, lang string",
+            ),
+            0,
+        )
+        # the crawl starts shipping a `source` column
+        proc(
+            spark.createDataFrame(
+                [(2, "second unique page body other words entirely now",
+                  "en", "cc-main-2026")],
+                "doc_id long, text string, lang string, source string",
+            ),
+            1,
+        )
+        # and a later batch drops it again
+        proc(
+            spark.createDataFrame(
+                [(3, "genuinely fresh third day content alpha beta gamma", "en")],
+                "doc_id long, text string, lang string",
+            ),
+            2,
+        )
+        rows = {
+            r["doc_id"]: r["source"]
+            for r in read_ingested_corpus(spark, root).collect()
+        }
+        assert rows == {1: None, 2: "cc-main-2026", 3: None}
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
