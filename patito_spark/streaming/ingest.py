@@ -564,6 +564,13 @@ def read_quarantine_specs(spark: SparkSession, store_root: str) -> dict:
 
 
 def _assert_stream_stopped(spark: SparkSession, store_root: str) -> None:
+    """Refuse to compact while the marker's query id is live.
+
+    Scope: ``spark.streams.active`` sees THIS application's queries — a
+    stream started from a different Spark application is not visible,
+    so run compaction from the same application that owns the stream
+    (the natural deployment: stop query → compact → restart within one
+    driver), or gate externally."""
     marker = _marker_get(spark, store_root)
     if marker is not None and marker in {
         str(q.id) for q in spark.streams.active
