@@ -519,7 +519,14 @@ def _minhash_banded(
     exactly once per row (see ``_materialize``)."""
     from ..functions.text import tokens, word_shingles_from_tokens
 
+    from ..functions import hashing
+    from ..functions.hashing import MINHASH_P, minhash_constants
+
     rows_per_band = num_hashes // bands
+    # slice count read LIVE from the hashing module (not a module-import
+    # snapshot): tests/test_minhash_recall.py patches it at runtime, and a
+    # frame built under a patched value must hash AND tag consistently
+    S = hashing.MINHASH_SLICES
     staged = _materialize(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
         _toks=tokens(F.col("_text")),
@@ -527,17 +534,57 @@ def _minhash_banded(
     staged = _materialize(
         staged, _sh=word_shingles_from_tokens(F.col("_toks"), shingle_n)
     )
-    # ONE md5 per shingle (materialized so the signature lambdas below
-    # reuse it), then num_hashes arithmetic-only combinations — this is the
-    # per-row hot loop at corpus scale, and digest count dominates it
-    staged = _materialize(staged, _hp=_shingle_hash_slices(F.col("_sh")))
-    staged = _materialize(
-        staged, _sig=_minwise_signature(F.col("_hp"), num_hashes)
+    # r9 relayout of the per-row hot loop: explode the shingles and run
+    # md5 → 4×conv slices → num_hashes multiply-add mixes as PLAIN row
+    # expressions under whole-stage codegen, then take the per-document
+    # minima with a hash aggregate (partial map-side).  The previous
+    # shape kept the same arithmetic inside higher-order-function
+    # lambdas, which Spark evaluates INTERPRETED with a per-element
+    # array allocation — measured 4.3 s (noop, sf1.0, best-of-3) for the
+    # md5+slices stage vs ~0.9 s exploded.  Values are bit-identical:
+    # min-over-group ≡ array_min over the same multiset, explode_outer
+    # keeps zero-shingle docs as a single null row whose all-null group
+    # min is null — exactly array_min([]) — and the band fold below is
+    # the unchanged ``minhash_bands`` expression over the same signature
+    # array.  Contract (pre-existing, now load-bearing): ids are unique
+    # per row — every caller (pair generation, signature stores,
+    # incremental batches) already requires this.
+    exploded = staged.select(
+        "_id", F.explode_outer("_sh").alias("_shingle")
     )
-    return staged.select(
+    digest = F.md5(F.col("_shingle"))
+    slices = exploded.select(
+        "_id",
+        *[
+            (
+                F.conv(F.substring(digest, 1 + i * 8, 8), 16, 10).cast("bigint")
+                % F.lit(2**30).cast("bigint")
+            ).alias(f"_x{i}")
+            for i in range(S)
+        ],
+    )
+    consts = minhash_constants(num_hashes)
+    mixes = slices.select(
+        "_id",
+        *[
+            (
+                (
+                    F.lit(a).cast("bigint") * F.col(f"_x{k % S}")
+                    + F.lit(b).cast("bigint") * F.col(f"_x{(k + 1) % S}")
+                )
+                % F.lit(MINHASH_P).cast("bigint")
+            ).alias(f"_h{k}")
+            for k, (a, b) in enumerate(consts)
+        ],
+    )
+    sig = mixes.groupBy("_id").agg(
+        *[F.min(f"_h{k}").alias(f"_s{k}") for k in range(num_hashes)]
+    )
+    sig_array = F.array(*[F.col(f"_s{k}") for k in range(num_hashes)])
+    return sig.select(
         "_id",
         F.posexplode(
-            minhash_bands(F.col("_sig"), bands, rows_per_band)
+            minhash_bands(sig_array, bands, rows_per_band)
         ).alias("band", "bucket"),
     )
 
@@ -803,16 +850,23 @@ def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
     )
 
     def _merge(acc, h):
-        # h is a lambda variable — each bit count references it, not a
-        # recomputation; shiftright distances must be Python ints
-        bit_counts = F.array(
-            *[
-                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
-                for i in range(bits)
-            ],
-            F.lit(1),
+        # r9: update the accumulator IN PLACE with transform's (value,
+        # index) lambda — ``v + getbit(h, i)`` — instead of building a
+        # 61-element bit array per token and zip_with-adding it.  Same
+        # values (getbit(h,i) ≡ (h>>i)&1 for the non-negative 60-bit h;
+        # symdiff 0 over sf1.0 + edge cases), but the per-token array
+        # allocation is gone: measured 1.50 s → 1.31 s best /
+        # 1.67 → 1.32 s mean on the sf1.0 documents table (noop,
+        # interleaved best-of-4).  An explode→hash-aggregate relayout
+        # and a packed-lane accumulator were both measured SLOWER
+        # (2.4-2.8 s) — see OPTIMIZATION_r09.md.  Lane `bits` counts
+        # tokens (N) — it must ride in the accumulator because Catalyst
+        # does not CSE across HOF lambdas.
+        return F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(i < bits, F.getbit(h, i)).otherwise(F.lit(1)).cast("bigint"),
         )
-        return F.zip_with(acc, bit_counts, lambda a, v: a + v)
 
     def _pack(counts):
         n_tokens = F.get(counts, bits)
@@ -824,7 +878,10 @@ def simhash(text_col: Column, bits: int = SIMHASH_BITS) -> Column:
         return packed
 
     return F.aggregate(
-        token_hashes, F.array_repeat(F.lit(0), bits + 1), _merge, _pack
+        token_hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits + 1),
+        _merge,
+        _pack,
     )
 
 
