@@ -415,7 +415,14 @@ def q_quality_scores(spark, sf_dir):
     from patito_spark.functions.text import quality_score, tokens
     from patito_spark.operators.dedup import _materialize
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the single-split scan before the regex-heavy per-row stage
+    # (same rationale as the minhash queries: the table arrives as ONE
+    # parquet split, so the tokenizer+alpha-ratio regexes would otherwise
+    # run on one core); hash on the unique id — no round-robin sort.
+    # r9 interleaved best-of-4 at sf1.0: 1.83 s -> 0.71 s
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # unicode tokenizer — matches quality_score's internal default and the
     # [^\p{L}\p{N}']+ DuckDB twin (ascii _tokens belongs to the
     # token-count twins only)
@@ -2404,11 +2411,19 @@ FROM j GROUP BY 1
 
 
 def q_orders_join_revenue(spark, sf_dir):
-    """Broadcast fact-dim join + aggregation (general join capability)."""
-    orders = _t(spark, sf_dir, "orders")
+    """Fact-to-orders join + aggregation (general join capability).
+
+    r9: shuffled-hash join instead of broadcasting ``orders`` — orders is
+    1/4 of lineitem and GROWS with it (it is not a dimension), so the
+    broadcast was both the measured bottleneck (driver collect + build of
+    1.5 M rows ≈ 1.6 s of the 1.9 s total at sf1.0; the lineitem scan
+    itself is 0.2 s) and the wrong shape at corpus scale.  Interleaved
+    best-of-4 at sf1.0: broadcast 1.85 s → shuffle-hash 1.31 s, identical
+    output."""
+    orders = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.round(

@@ -114,7 +114,12 @@ EXCHANGE_BUDGET = {
     # hash
     "line_dedup": 6,
     "per_partition_report": 1,
-    "orders_join_revenue": 2,
+    # r9: shuffled-hash join (both sides keyed on orderkey + the final
+    # per-priority agg) replaced the orders broadcast — orders grows with
+    # lineitem, so collecting it to the driver was the measured bottleneck
+    # (1.6 s of 1.9 s at sf1.0) AND the wrong shape at corpus scale; the
+    # two join exchanges carry projected key+payload columns only
+    "orders_join_revenue": 3,
     "customer_nation_join": 3,
     "text_parity": 3,
     # parse + canonicalize, one scan, no shuffle
