@@ -2507,7 +2507,12 @@ def q_text_metrics(spark, sf_dir):
     )
     from patito_spark.operators.dedup import _materialize
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the single-split scan before the regex-heavy panel (same
+    # rationale + measured 2.5x as q_quality_scores, r9): hash on the
+    # unique id, no round-robin sort
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # ONE pass per tokenizer feeds all five metric families — inline,
     # language_id alone re-tokenized per candidate and the panel totalled
     # ~10 tokenizer evaluations per row (no CSE under HOF lambdas).  TWO

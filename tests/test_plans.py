@@ -39,8 +39,11 @@ EXCHANGE_BUDGET = {
     "doc_fingerprints": 0,
     # exact-dedup leg (2) + full cleaning-pipeline leg (2) unioned
     "corpus_stats": 4,
-    # five per-doc text panels in ONE scan, still no shuffle
-    "text_metrics": 0,
+    # five per-doc text panels in ONE scan; r9 adds the hash(doc_id)
+    # spread of the single-split scan before the regex-heavy projection
+    # (same measured 2.5x as q_quality_scores — the table arrives as one
+    # parquet split, so the panel otherwise runs on one core)
+    "text_metrics": 1,
     "hash_split": 1,
     "stratified_sample": 0,
     # eval-ngram distinct (1) + contaminated-set semi-join distinct (2) +
