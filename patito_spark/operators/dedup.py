@@ -1098,7 +1098,12 @@ def ngram_jaccard_pairs(
 
     Unblocked this is O(n²) — at scale ALWAYS pass ``block_cols`` (e.g.
     language + domain) or use the MinHash path; this exists as the exact
-    oracle-verifiable variant for bounded blocks.
+    oracle-verifiable variant for bounded blocks.  Cost is
+    Σ_block |block|²/2 pairs, each carrying both shingle arrays through
+    the join: keep blocks ≲10³ docs (r9 measured 2.5 k-doc blocks at
+    ~60 M pairs — minutes, quadratic-by-design; use
+    :func:`minhash_candidate_pairs` + :func:`jaccard_of_pairs` for
+    anything coarser).
     """
     from ..functions.text import word_shingles_from_tokens
 
